@@ -1,0 +1,176 @@
+"""Vision Transformer backbone (DINOv2/v3-compatible) in Flax.
+
+Replaces the reference's timm/HF frozen backbones
+(/root/reference/model/DREAM_Train.py:133-142, MvRoPose_FR3.py:326-353).
+Supports the structural features needed to host converted DINO checkpoints:
+patch embedding, CLS + register tokens, LayerScale, interpolatable position
+embeddings, pre-norm blocks. A small config trains from scratch for tests.
+
+TPU notes:
+  * All matmuls run in `dtype` (bf16 by default) with f32 params, keeping the
+    MXU fed; LayerNorms accumulate in f32.
+  * Token count is static per config; attention is a single fused
+    dot-product-attention per block (XLA fuses the softmax chain).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 0
+    layerscale_init: Optional[float] = 1e-5  # None disables LayerScale
+    dtype: str = "bfloat16"
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+# Canonical configs mirroring the backbones the reference uses.
+VIT_B16 = ViTConfig(patch_size=16, hidden_size=768, num_layers=12, num_heads=12)
+VIT_L16 = ViTConfig(patch_size=16, hidden_size=1024, num_layers=24, num_heads=16)
+VIT_B14_518 = ViTConfig(image_size=518, patch_size=14, hidden_size=768, num_layers=12, num_heads=12)
+VIT_TINY_TEST = ViTConfig(
+    image_size=64, patch_size=16, hidden_size=64, num_layers=2, num_heads=4,
+    layerscale_init=None, dtype="float32",
+)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init), (self.dim,))
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        dt = c.compute_dtype
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(dt)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.num_heads, dtype=dt, name="attn", deterministic=True
+        )(h, h)
+        if c.layerscale_init is not None:
+            h = LayerScale(c.hidden_size, c.layerscale_init, name="ls1")(h)
+        x = x + h
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(dt)
+        h = Mlp(int(c.hidden_size * c.mlp_ratio), c.hidden_size, dt, name="mlp")(h)
+        if c.layerscale_init is not None:
+            h = LayerScale(c.hidden_size, c.layerscale_init, name="ls2")(h)
+        return x + h
+
+
+class ViTBackbone(nn.Module):
+    """ViT producing normalized patch tokens.
+
+    __call__(images NHWC in [-norm space]) -> dict with:
+      patch_tokens: (B, N, D)  - the backbone interface every head consumes
+      cls_token:    (B, D)
+      register_tokens: (B, R, D)
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        c = self.cfg
+        dt = c.compute_dtype
+        B = images.shape[0]
+
+        x = nn.Conv(
+            c.hidden_size,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=dt,
+            name="patch_embed",
+        )(images.astype(dt))
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, c.hidden_size)
+
+        cls = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, c.hidden_size)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, c.num_patches + 1, c.hidden_size),
+        )
+        # Interpolate position embeddings if the input grid differs from the
+        # config grid (e.g. converted 518px DINO weights run at 224/512).
+        patch_pos = pos[:, 1:, :]
+        if gh * gw != c.num_patches:
+            g0 = c.grid_size
+            patch_pos = patch_pos.reshape(1, g0, g0, c.hidden_size)
+            patch_pos = jax.image.resize(
+                patch_pos, (1, gh, gw, c.hidden_size), method="bicubic"
+            )
+            patch_pos = patch_pos.reshape(1, gh * gw, c.hidden_size)
+        x = x + patch_pos.astype(dt)
+        cls_tok = (cls + pos[:, :1, :]).astype(dt)
+        cls_tok = jnp.broadcast_to(cls_tok, (B, 1, c.hidden_size))
+
+        toks = [cls_tok]
+        if c.num_register_tokens > 0:
+            reg = self.param(
+                "register_tokens",
+                nn.initializers.truncated_normal(0.02),
+                (1, c.num_register_tokens, c.hidden_size),
+            )
+            toks.append(jnp.broadcast_to(reg.astype(dt), (B, c.num_register_tokens, c.hidden_size)))
+        toks.append(x)
+        x = jnp.concatenate(toks, axis=1)
+
+        for i in range(c.num_layers):
+            x = Block(c, name=f"block_{i}")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+
+        n_prefix = 1 + c.num_register_tokens
+        return {
+            "cls_token": x[:, 0, :],
+            "register_tokens": x[:, 1:n_prefix, :],
+            "patch_tokens": x[:, n_prefix:, :],
+            "grid_hw": (gh, gw),
+        }

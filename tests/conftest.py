@@ -1,0 +1,40 @@
+"""Test configuration: run the suite on a fake 8-device CPU mesh.
+
+Multi-device correctness is exercised without TPU hardware via
+`--xla_force_host_platform_device_count=8` - the TPU answer to "test
+multi-node without a cluster" (the reference never solved this; it only ever
+ran DDP on the author's 3-GPU box).
+
+The harness preregisters an experimental TPU platform that overrides
+JAX_PLATFORMS, so we must force CPU through jax.config (and set XLA_FLAGS
+before the backend initializes).
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    assert jax.default_backend() == "cpu"
+    assert jax.device_count() == 8, f"expected 8 fake CPU devices, got {jax.device_count()}"
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,169 @@
+"""PnP + triangulation vs cv2 golden / synthetic ground truth."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.geometry import pnp
+from mvropose_tpu.geometry import triangulation as tri
+from mvropose_tpu.geometry.robots import FR3, forward_kinematics
+from mvropose_tpu.geometry.camera import project_points
+from mvropose_tpu.geometry.rotations import rodrigues_to_matrix
+
+K = np.array([[737.0, 0, 960.0], [0, 737.0, 540.0], [0, 0, 1]], dtype=np.float64)
+
+
+def make_scene(rng, n=8, noise_px=0.0):
+    """Random non-coplanar 3D points + a valid camera pose, like an FK chain."""
+    angles = rng.uniform(-1.5, 1.5, size=7)
+    obj = np.asarray(forward_kinematics(FR3, jnp.asarray(angles, jnp.float32)), dtype=np.float64)
+    rvec = rng.normal(size=3) * 0.4
+    tvec = np.array([0.05, -0.1, 1.6]) + rng.normal(size=3) * 0.05
+    img, _ = cv2.projectPoints(obj, rvec, tvec, K, np.zeros(5))
+    img = img.reshape(-1, 2)
+    img += rng.normal(size=img.shape) * noise_px
+    return obj, img, rvec, tvec
+
+
+def pose_errors(rvec, tvec, rvec_gt, tvec_gt):
+    R1 = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec, jnp.float32)))
+    R2 = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec_gt, jnp.float32)))
+    ang = np.degrees(np.arccos(np.clip((np.trace(R1.T @ R2) - 1) / 2, -1, 1)))
+    return ang, np.linalg.norm(np.asarray(tvec) - tvec_gt)
+
+
+def test_dlt_recovers_exact_pose(rng):
+    for _ in range(5):
+        obj, img, rvec_gt, tvec_gt = make_scene(rng)
+        rvec, tvec = pnp.solve_pnp_dlt(
+            jnp.asarray(obj, jnp.float32), jnp.asarray(img, jnp.float32), jnp.asarray(K, jnp.float32)
+        )
+        ang, trans = pose_errors(rvec, tvec, rvec_gt, tvec_gt)
+        assert ang < 0.5, f"rotation error {ang} deg"
+        assert trans < 0.01, f"translation error {trans} m"
+
+
+def test_lm_refine_improves_noisy_init(rng):
+    obj, img, rvec_gt, tvec_gt = make_scene(rng)
+    rvec0 = jnp.asarray(rvec_gt + rng.normal(size=3) * 0.1, jnp.float32)
+    tvec0 = jnp.asarray(tvec_gt + rng.normal(size=3) * 0.05, jnp.float32)
+    rvec, tvec, cost = pnp.refine_pnp_lm(
+        jnp.asarray(obj, jnp.float32),
+        jnp.asarray(img, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+        rvec0,
+        tvec0,
+        iters=25,
+    )
+    ang, trans = pose_errors(rvec, tvec, rvec_gt, tvec_gt)
+    assert ang < 0.1
+    assert trans < 2e-3
+    assert float(cost) < 1e-3
+
+
+def test_ransac_matches_cv2_with_outliers(rng):
+    obj, img, rvec_gt, tvec_gt = make_scene(rng, noise_px=0.5)
+    # Corrupt two observations badly.
+    img_bad = img.copy()
+    img_bad[1] += [300, -200]
+    img_bad[5] += [-250, 180]
+
+    result = pnp.solve_pnp_ransac(
+        jnp.asarray(obj, jnp.float32),
+        jnp.asarray(img_bad, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+        key=jax.random.PRNGKey(3),
+        n_hypotheses=64,
+        inlier_threshold_px=6.0,
+    )
+    assert bool(result["success"])
+    ang, trans = pose_errors(result["rvec"], result["tvec"], rvec_gt, tvec_gt)
+    assert ang < 1.5
+    assert trans < 0.03
+    # The corrupted points must be flagged as outliers.
+    mask = np.asarray(result["inlier_mask"])
+    assert not mask[1] and not mask[5]
+
+    # cv2 agreement on the same data.
+    ok, rvec_cv, tvec_cv, _ = cv2.solvePnPRansac(
+        obj, img_bad, K, np.zeros(5), flags=cv2.SOLVEPNP_EPNP
+    )
+    assert ok
+    ang_cv, trans_cv = pose_errors(
+        np.asarray(result["rvec"]), np.asarray(result["tvec"]), rvec_cv.ravel(), tvec_cv.ravel()
+    )
+    assert ang_cv < 2.0
+    assert trans_cv < 0.05
+
+
+def test_ransac_confidence_gate(rng):
+    """Zero-weight points are excluded; <4 usable points => success=False."""
+    obj, img, _, _ = make_scene(rng)
+    weights = np.zeros(len(obj), dtype=np.float32)
+    weights[:3] = 1.0  # only 3 usable points
+    result = pnp.solve_pnp_ransac(
+        jnp.asarray(obj, jnp.float32),
+        jnp.asarray(img, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+        weights=jnp.asarray(weights),
+        key=jax.random.PRNGKey(0),
+    )
+    assert not bool(result["success"])
+
+
+def test_triangulation_recovers_points(rng):
+    # 4 cameras in a ring looking at the origin.
+    obj = rng.uniform(-0.3, 0.3, size=(8, 3))
+    projs = []
+    pixels = []
+    for i in range(4):
+        rvec = np.array([0.1 * i, 0.6 * i, 0.05])
+        tvec = np.array([0.1 * i - 0.2, 0.05, 1.8])
+        P = np.asarray(
+            tri.projection_matrix(
+                jnp.asarray(rvec, jnp.float32), jnp.asarray(tvec, jnp.float32), jnp.asarray(K, jnp.float32)
+            )
+        )
+        projs.append(P)
+        px, _ = cv2.projectPoints(obj, rvec, tvec, K, np.zeros(5))
+        pixels.append(px.reshape(-1, 2))
+    projs = np.stack(projs)  # (V, 3, 4)
+    pixels = np.stack(pixels)  # (V, J, 2)
+
+    got = np.asarray(
+        tri.triangulate_keypoints(jnp.asarray(pixels, jnp.float32), jnp.asarray(projs, jnp.float32))
+    )
+    np.testing.assert_allclose(got, obj, atol=1e-3)
+
+
+def test_triangulation_view_mask(rng):
+    """A garbage view with weight 0 must not affect the result."""
+    obj = rng.uniform(-0.3, 0.3, size=(5, 3))
+    projs, pixels = [], []
+    for i in range(3):
+        rvec = np.array([0.05 * i, 0.5 * i, 0.0])
+        tvec = np.array([0.15 * i, 0.0, 2.0])
+        P = np.asarray(
+            tri.projection_matrix(
+                jnp.asarray(rvec, jnp.float32), jnp.asarray(tvec, jnp.float32), jnp.asarray(K, jnp.float32)
+            )
+        )
+        projs.append(P)
+        px, _ = cv2.projectPoints(obj, rvec, tvec, K, np.zeros(5))
+        pixels.append(px.reshape(-1, 2))
+    # Add a dead view (all-zero pixels - the reference's dummy-view padding).
+    projs.append(projs[0])
+    pixels.append(np.zeros_like(pixels[0]))
+    weights = np.array([1.0, 1.0, 1.0, 0.0], dtype=np.float32)
+
+    got = np.asarray(
+        tri.triangulate_keypoints(
+            jnp.asarray(np.stack(pixels), jnp.float32),
+            jnp.asarray(np.stack(projs), jnp.float32),
+            jnp.asarray(weights),
+        )
+    )
+    np.testing.assert_allclose(got, obj, atol=1e-3)
