@@ -1,0 +1,120 @@
+"""Model layer smoke + invariant tests (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.models import (
+    EstimatorConfig,
+    SingleViewPoseEstimator,
+    MultiViewPoseEstimator,
+    ViTBackbone,
+)
+from mvropose_tpu.models.vit import VIT_TINY_TEST
+
+
+TINY = EstimatorConfig(
+    vit=VIT_TINY_TEST,
+    num_joints=8,
+    num_angles=7,
+    heatmap_size=(32, 32),
+    max_views=8,
+    num_fusion_queries=4,
+    num_angle_queries=2,
+    dtype="float32",
+)
+
+
+def test_vit_backbone_shapes():
+    model = ViTBackbone(VIT_TINY_TEST)
+    x = jnp.zeros((2, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["patch_tokens"].shape == (2, 16, 64)
+    assert out["cls_token"].shape == (2, 64)
+    assert out["grid_hw"] == (4, 4)
+
+
+def test_vit_pos_embed_interpolation():
+    """Backbone trained at 64px runs at other resolutions (518->512 case)."""
+    model = ViTBackbone(VIT_TINY_TEST)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(params, jnp.zeros((1, 96, 96, 3)))
+    assert out["patch_tokens"].shape == (1, 36, 64)
+    assert out["grid_hw"] == (6, 6)
+
+
+def test_single_view_estimator_shapes():
+    model = SingleViewPoseEstimator(TINY)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    (heatmaps, angles), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert heatmaps.shape == (2, 8, 32, 32)
+    assert angles.shape == (2, 7)
+    assert heatmaps.dtype == jnp.float32
+    assert angles.dtype == jnp.float32
+
+
+def test_multi_view_estimator_shapes():
+    model = MultiViewPoseEstimator(TINY)
+    B, V = 2, 4
+    imgs = jnp.zeros((B, V, 64, 64, 3))
+    vids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
+    mask = jnp.ones((B, V), dtype=bool)
+    variables = model.init(jax.random.PRNGKey(0), imgs, vids, mask)
+    heatmaps, angles = model.apply(variables, imgs, vids, mask)
+    assert heatmaps.shape == (B, V, 8, 32, 32)
+    assert angles.shape == (B, 7)
+
+
+def test_multi_view_mask_invariance(rng):
+    """Padding with masked-out garbage views must not change real outputs.
+
+    This is the property the reference could NOT guarantee with zero-dummy
+    images (dummies still fed attention); our masked fusion makes padding
+    exact.
+    """
+    model = MultiViewPoseEstimator(TINY)
+    B, V = 1, 3
+    imgs = jnp.asarray(rng.normal(size=(B, V, 64, 64, 3)).astype(np.float32))
+    vids = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    mask3 = jnp.ones((B, V), dtype=bool)
+    variables = model.init(jax.random.PRNGKey(0), imgs, vids, mask3)
+    hm3, ang3 = model.apply(variables, imgs, vids, mask3)
+
+    # Pad to V=5 with garbage images, masked out.
+    garbage = jnp.asarray(rng.normal(size=(B, 2, 64, 64, 3)).astype(np.float32) * 50)
+    imgs5 = jnp.concatenate([imgs, garbage], axis=1)
+    vids5 = jnp.asarray([[0, 1, 2, 3, 4]], dtype=jnp.int32)
+    mask5 = jnp.asarray([[True, True, True, False, False]])
+    hm5, ang5 = model.apply(variables, imgs5, vids5, mask5)
+
+    np.testing.assert_allclose(np.asarray(ang5), np.asarray(ang3), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(hm5[:, :V]), np.asarray(hm3), atol=1e-4
+    )
+
+
+def test_frozen_backbone_gets_no_grad():
+    model = SingleViewPoseEstimator(TINY)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(params):
+        hm, ang = model.apply({"params": params, "batch_stats": variables["batch_stats"]}, x)
+        return jnp.sum(hm**2) + jnp.sum(ang**2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    backbone_norm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), grads["backbone"], 0.0
+    )
+    head_norm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), grads["keypoint_head"], 0.0
+    )
+    assert float(backbone_norm) == 0.0
+    assert float(head_norm) > 0.0

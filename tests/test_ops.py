@@ -1,0 +1,53 @@
+"""Pallas kernels (interpret mode on CPU) vs jnp reference implementations."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mvropose_tpu.geometry.heatmap import render_heatmaps, argmax_decode, soft_argmax_decode
+from mvropose_tpu.ops.peak_decode import fused_peak_decode
+from mvropose_tpu.ops.heatmap_render import render_heatmaps_pallas
+from mvropose_tpu.decode import decode_keypoints
+
+
+def test_fused_peak_decode_matches_reference(rng):
+    kps = rng.uniform(5, 120, size=(3, 7, 2)).astype(np.float32)
+    maps = render_heatmaps(jnp.asarray(kps), 128, 128, sigma=4.0)
+    maps = maps * 3.0 - 1.0  # arbitrary logits scale
+
+    out = fused_peak_decode(maps, temperature=2.0)
+    xy_ref, conf_ref = argmax_decode(maps)
+    soft_ref, _ = soft_argmax_decode(maps, temperature=2.0)
+
+    np.testing.assert_allclose(np.asarray(out["argmax_xy"]), np.asarray(xy_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["confidence"]), np.asarray(conf_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["soft_xy"]), np.asarray(soft_ref), atol=1e-3)
+
+
+def test_fused_peak_decode_nonmultiple_block(rng):
+    maps = jnp.asarray(rng.normal(size=(5, 32, 32)).astype(np.float32))
+    out = fused_peak_decode(maps, block_m=8)
+    xy_ref, conf_ref = argmax_decode(maps)
+    np.testing.assert_allclose(np.asarray(out["argmax_xy"]), np.asarray(xy_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["confidence"]), np.asarray(conf_ref), atol=1e-5)
+
+
+def test_render_pallas_matches_reference(rng):
+    kps = rng.uniform(0, 127, size=(2, 8, 2)).astype(np.float32)
+    want = np.asarray(render_heatmaps(jnp.asarray(kps), 128, 128, sigma=5.0))
+    got = np.asarray(render_heatmaps_pallas(jnp.asarray(kps), 128, 128, sigma=5.0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_decode_keypoints_rescale(rng):
+    kps = rng.uniform(10, 110, size=(2, 2)).astype(np.float32)
+    maps = render_heatmaps(jnp.asarray(kps), 128, 128, sigma=3.0)
+    xy, conf = decode_keypoints(maps, image_hw=(720, 1280))
+    expect_x = np.round(kps[:, 0]) * (1280 / 128)
+    expect_y = np.round(kps[:, 1]) * (720 / 128)
+    np.testing.assert_allclose(np.asarray(xy[:, 0]), expect_x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xy[:, 1]), expect_y, atol=1e-4)
+    # Pallas and jnp paths agree.
+    xy2, conf2 = decode_keypoints(maps, image_hw=(720, 1280), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(xy), np.asarray(xy2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(conf2), atol=1e-5)
