@@ -1,0 +1,56 @@
+"""Evaluation metrics: PCK@k px and ADD.
+
+These are the BASELINE.json parity metrics that the reference never computes
+numerically (SURVEY.md section 6) - it only eyeballed overlays. Implemented
+here from day one so every eval run reports them.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pck_at_k(
+    pred_xy: jnp.ndarray,  # (..., J, 2) pixels
+    gt_xy: jnp.ndarray,  # (..., J, 2)
+    k_px: float = 5.0,
+    valid: jnp.ndarray | None = None,  # (..., J) or broadcastable
+) -> jnp.ndarray:
+    """Percentage of Correct Keypoints within k pixels (scalar in [0, 1])."""
+    d = jnp.linalg.norm(pred_xy - gt_xy, axis=-1)  # (..., J)
+    correct = (d <= k_px).astype(jnp.float32)
+    if valid is None:
+        return jnp.mean(correct)
+    w = jnp.broadcast_to(valid.astype(jnp.float32), correct.shape)
+    return jnp.sum(correct * w) / (jnp.sum(w) + 1e-8)
+
+
+def add_metric(
+    pred_pts3d: jnp.ndarray,  # (..., J, 3) meters
+    gt_pts3d: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """ADD: average 3D distance between corresponding model points (meters)."""
+    d = jnp.linalg.norm(pred_pts3d - gt_pts3d, axis=-1)
+    if valid is None:
+        return jnp.mean(d)
+    w = jnp.broadcast_to(valid.astype(jnp.float32), d.shape)
+    return jnp.sum(d * w) / (jnp.sum(w) + 1e-8)
+
+
+def add_auc(
+    pred_pts3d: jnp.ndarray,
+    gt_pts3d: jnp.ndarray,
+    max_threshold_m: float = 0.10,
+    n_steps: int = 50,
+) -> jnp.ndarray:
+    """Area under the ADD pass-rate curve up to max_threshold (DREAM-style)."""
+    d = jnp.linalg.norm(pred_pts3d - gt_pts3d, axis=-1)  # (..., J)
+    per_sample = jnp.mean(d, axis=-1).reshape(-1)  # mean ADD per sample
+    ths = jnp.linspace(0.0, max_threshold_m, n_steps)
+    pass_rate = jnp.mean(per_sample[None, :] <= ths[:, None], axis=1)
+    return jnp.trapezoid(pass_rate, ths) / max_threshold_m
+
+
+def angle_mae(pred_angles: jnp.ndarray, gt_angles: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred_angles - gt_angles))

@@ -1,0 +1,156 @@
+"""Train loop: loss decreases, two-group optimizer works, DP sharding runs
+on the fake 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.models import EstimatorConfig, SingleViewPoseEstimator, MultiViewPoseEstimator
+from mvropose_tpu.models.vit import VIT_TINY_TEST
+from mvropose_tpu.geometry.heatmap import render_heatmaps
+from mvropose_tpu.parallel import make_mesh, shard_batch
+from mvropose_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    make_single_view_train_step,
+    make_multi_view_train_step,
+    make_eval_step,
+    pck_at_k,
+    add_metric,
+)
+
+TINY = EstimatorConfig(
+    vit=VIT_TINY_TEST,
+    num_joints=4,
+    num_angles=3,
+    heatmap_size=(32, 32),
+    max_views=4,
+    num_fusion_queries=4,
+    num_angle_queries=2,
+    dtype="float32",
+)
+
+
+def make_sv_batch(rng, B=8):
+    kps = rng.uniform(4, 28, size=(B, 4, 2)).astype(np.float32)
+    return {
+        "images": jnp.asarray(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "heatmaps": render_heatmaps(jnp.asarray(kps), 32, 32, sigma=2.0),
+        "angles": jnp.asarray(rng.uniform(-1, 1, size=(B, 3)).astype(np.float32)),
+    }
+
+
+def test_single_view_training_reduces_loss(rng):
+    model = SingleViewPoseEstimator(TINY)
+    batch = make_sv_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=50, lr_kpt=1e-3, lr_ang=1e-3,
+                      loss_weight_kpt=100.0)
+    state = create_train_state(model, variables, cfg)
+    step = make_single_view_train_step(cfg)
+
+    losses = []
+    for i in range(30):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_frozen_backbone_params_unchanged(rng):
+    model = SingleViewPoseEstimator(TINY)
+    batch = make_sv_batch(rng, B=4)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=10)
+    state = create_train_state(model, variables, cfg)
+    # Snapshot to host BEFORE stepping: donate_argnums invalidates the
+    # original device buffers.
+    before = jax.tree_util.tree_map(np.asarray, state.params["backbone"])
+    init_kpt = jax.tree_util.tree_map(np.asarray, state.params["keypoint_head"])
+    step = make_single_view_train_step(cfg)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    after = state.params["backbone"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)), before, after
+    )
+    # And the trainable heads did move.
+    moved = jax.tree_util.tree_map(np.asarray, state.params["keypoint_head"])
+    diffs = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), moved, init_kpt)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_multi_view_train_step_on_mesh(rng):
+    """Full DP train step over the fake 8-device mesh."""
+    mesh = make_mesh(n_data=8)
+    model = MultiViewPoseEstimator(TINY)
+    B, V = 8, 3
+    kps = rng.uniform(4, 28, size=(B, V, 4, 2)).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, V, 64, 64, 3)).astype(np.float32)),
+        "view_ids": jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1)),
+        "view_mask": jnp.asarray(rng.uniform(size=(B, V)) > 0.2),
+        "heatmaps": render_heatmaps(jnp.asarray(kps), 32, 32, sigma=2.0),
+        "angles": jnp.asarray(rng.uniform(-1, 1, size=(B, 3)).astype(np.float32)),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"][:1], batch["view_ids"][:1], batch["view_mask"][:1]
+    )
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=10, lr_kpt=1e-3, lr_ang=1e-3)
+    state = create_train_state(model, variables, cfg)
+    step = make_multi_view_train_step(cfg, mesh)
+
+    with mesh:
+        sharded = shard_batch(mesh, batch)
+        losses = []
+        for i in range(8):
+            state, m = step(state, sharded, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_equals_unsharded(rng):
+    """DP over 8 devices computes the same update as single-device."""
+    model = SingleViewPoseEstimator(TINY)
+    batch = make_sv_batch(rng, B=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=10)
+
+    # Deep-copy per state: donation would otherwise invalidate the shared
+    # init buffers.
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    state1 = create_train_state(model, copy(variables), cfg)
+    step1 = make_single_view_train_step(cfg)
+    state1, m1 = step1(state1, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=8)
+    state2 = create_train_state(model, copy(variables), cfg)
+    step2 = make_single_view_train_step(cfg, mesh)
+    with mesh:
+        state2, m2 = step2(state2, shard_batch(mesh, batch), jax.random.PRNGKey(0))
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 2e-3  # fp32 reduction order
+    l1 = jax.tree_util.tree_leaves(state1.params["keypoint_head"])
+    l2 = jax.tree_util.tree_leaves(state2.params["keypoint_head"])
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_eval_step_and_metrics(rng):
+    model = SingleViewPoseEstimator(TINY)
+    batch = make_sv_batch(rng, B=4)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig()
+    state = create_train_state(model, variables, cfg)
+    ev = make_eval_step(cfg, multi_view=False)
+    out = ev(state, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert out["pred_heatmaps"].shape == batch["heatmaps"].shape
+
+    pck = float(pck_at_k(jnp.zeros((4, 4, 2)), jnp.ones((4, 4, 2)) * 3.0, k_px=5.0))
+    assert pck == 1.0
+    add = float(add_metric(jnp.zeros((2, 4, 3)), jnp.ones((2, 4, 3))))
+    assert abs(add - np.sqrt(3)) < 1e-5
