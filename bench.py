@@ -1,0 +1,81 @@
+"""Flagship benchmark: multi-camera pose inference throughput per TPU chip.
+
+Measures the full jitted serve step on one chip: 4-camera 512x512 batch ->
+ViT-B/16 backbone (bf16) -> masked fusion -> heatmaps + angles -> fused
+Pallas peak decode -> keypoints + confidences. One "frame" = one synchronized
+4-camera frame set (the rig unit of work).
+
+Baseline: the reference's measured 3-view full-pipeline inference at 5.61
+frames/sec on the author's GPU workstation (SURVEY.md section 6,
+/root/reference/model/MV-model.ipynb cell 4 outputs). BASELINE.json's target
+is >= 30 fps at >= 4 cameras per v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FPS = 5.61
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from mvropose_tpu.models import MultiViewPoseEstimator
+    from mvropose_tpu.decode import decode_keypoints
+
+    cfg = _flagship_cfg(image_size=512)
+    model = MultiViewPoseEstimator(cfg)
+
+    B, V, S = 1, 4, cfg.vit.image_size
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (B, V, S, S, 3), jnp.float32)
+    view_ids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
+    view_mask = jnp.ones((B, V), dtype=bool)
+    variables = model.init(jax.random.PRNGKey(0), images, view_ids, view_mask)
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    @jax.jit
+    def serve_step(images, view_ids, view_mask):
+        heatmaps, angles = model.apply(variables, images, view_ids, view_mask)
+        xy, conf = decode_keypoints(
+            heatmaps, image_hw=(720, 1280), mode="argmax", use_pallas=use_pallas
+        )
+        return xy, conf, angles
+
+    # Warmup / compile.
+    out = serve_step(images, view_ids, view_mask)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = serve_step(images, view_ids, view_mask)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = iters * B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "multi_cam_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frame-sets/s (4cam@512px ViT-B/16 + decode)",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""Fixed-shape datasets + jit-fused device preprocessing.
+
+Host side (this module's Python classes) does only I/O and bookkeeping:
+decode JPEGs, look up calibration indices, compute GT keypoints via the
+(host-jitted) FK+projection chain. Everything per-pixel - undistortion,
+resize, normalization, GT heatmap rendering - happens ON DEVICE inside one
+jitted preprocessor, replacing the reference's per-sample cv2/numpy work in
+dataloader worker processes (/root/reference/model/MvRoPose_FR3.py:209-225).
+
+Fixed shapes everywhere:
+  * single-view batch: images_u8 (B, H, W, 3), cam_idx (B,), angles (B, A),
+    keypoints_2d (B, J, 2) in raw-image pixels, sample_weight (B,)
+  * multi-view batch: images_u8 (B, V, H, W, 3), view_ids (B, V),
+    view_mask (B, V), cam_idx (B, V), angles (B, A), keypoints_2d (B,V,J,2)
+Partial final batches and failed image loads are padded with weight/mask 0 -
+the reference's None-filter collate and dummy-view padding
+(MvRoPose_FR3.py:949-967) without any dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from pathlib import Path
+from typing import Iterator, Mapping, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.calib.registry import RigSpec
+from mvropose_tpu.geometry.camera import undistort_map, remap_bilinear
+from mvropose_tpu.geometry.heatmap import render_heatmaps
+from mvropose_tpu.geometry.robots import forward_kinematics
+from mvropose_tpu.geometry.camera import project_points
+
+# DINOv2/v3 normalization (ImageNet), as used by every reference transform.
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class SingleViewSample:
+    image_path: str
+    camera_key: str  # "{view}_{cam}" into rig.calibs / rig.extrinsics
+    view: str
+    angles: np.ndarray  # (A,) native units
+    keypoints_2d: np.ndarray | None = None  # (J, 2) raw-image px (DREAM-style)
+
+
+def _load_image_rgb(path: str) -> np.ndarray | None:
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        return None
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _parse_serial_cam(path: str) -> tuple[str, str]:
+    """zed_<serial>_<side>_<ts>.jpg -> (serial, '<side>cam')."""
+    parts = Path(path).name.split("_")
+    return parts[1], parts[2] + "cam"
+
+
+class _RigGeometry:
+    """Precomputed per-camera tables shared by the datasets."""
+
+    def __init__(self, rig: RigSpec, image_hw: tuple[int, int]):
+        self.rig = rig
+        self.image_hw = image_hw
+        self.camera_keys = sorted(rig.calibs)
+        self.key_to_idx = {k: i for i, k in enumerate(self.camera_keys)}
+        self.K = np.stack(
+            [rig.calibs[k].camera_matrix for k in self.camera_keys]
+        ).astype(np.float32)
+        self.dist = np.stack(
+            [rig.calibs[k].distortion_coeffs for k in self.camera_keys]
+        ).astype(np.float32)
+
+    @functools.cached_property
+    def remaps(self) -> np.ndarray:
+        """(C, 2, H, W) undistortion remap grid per camera."""
+        H, W = self.image_hw
+        grids = [
+            np.asarray(undistort_map(jnp.asarray(K), jnp.asarray(d), H, W))
+            for K, d in zip(self.K, self.dist)
+        ]
+        return np.stack(grids)
+
+    def gt_keypoints(self, sample: SingleViewSample, extr_key: str | None = None) -> np.ndarray:
+        """FK + projection GT keypoints in raw-image pixels (J, 2).
+
+        Projection uses ZERO distortion because keypoints live on the
+        undistorted image (the reference does the same,
+        MvRoPose_FR3.py:215)."""
+        if sample.keypoints_2d is not None:
+            return sample.keypoints_2d
+        rig = self.rig
+        key = extr_key or sample.camera_key
+        extr = rig.extrinsics[key]
+        base = rig.robot.base_rotation(sample.view)
+        pts3d = forward_kinematics(rig.robot, jnp.asarray(sample.angles), jnp.asarray(base))
+        K = rig.calibs[sample.camera_key].camera_matrix
+        px = project_points(
+            pts3d,
+            jnp.asarray(extr.rvec, jnp.float32),
+            jnp.asarray(extr.tvec, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            None,
+        )
+        return np.asarray(px, dtype=np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_size", "heatmap_size", "out_dtype"),
+)
+def _device_preprocess(
+    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8 raw
+    cam_idx: jnp.ndarray,  # (B,) int32
+    keypoints_2d: jnp.ndarray,  # (B, J, 2) raw px
+    remaps: jnp.ndarray,  # (C, 2, H, W)
+    sigma: float,
+    model_size: int,
+    heatmap_size: tuple[int, int],
+    out_dtype: str = "float32",
+):
+    """undistort -> resize -> normalize + GT heatmap render, fully on device."""
+    B, H, W, _ = images_u8.shape
+
+    def per_image(img, ci):
+        f = img.astype(jnp.float32) / 255.0
+        und = remap_bilinear(f, remaps[ci])
+        resized = jax.image.resize(und, (model_size, model_size, 3), method="bilinear")
+        return (resized - IMAGENET_MEAN) / IMAGENET_STD
+
+    out = jax.vmap(per_image)(images_u8, cam_idx).astype(jnp.dtype(out_dtype))
+
+    Hm, Wm = heatmap_size
+    scale = jnp.asarray([Wm / W, Hm / H], jnp.float32)
+    kp_hm = keypoints_2d * scale
+    heatmaps = render_heatmaps(kp_hm, Hm, Wm, sigma=sigma)
+    return out, heatmaps
+
+
+def make_device_preprocessor(
+    geometry: _RigGeometry,
+    model_size: int,
+    heatmap_size: tuple[int, int],
+    sigma: float,
+    out_dtype: str = "float32",
+):
+    """Bind static tables; returns f(images_u8, cam_idx, keypoints_2d) ->
+    (model_images, gt_heatmaps). Works on (B, ...) and (B, V, ...) inputs
+    (the view axis folds into batch)."""
+    remaps = jnp.asarray(geometry.remaps)
+
+    def preprocess(images_u8, cam_idx, keypoints_2d):
+        lead = images_u8.shape[:-3]
+        Bflat = int(np.prod(lead))
+        imgs = images_u8.reshape(Bflat, *images_u8.shape[-3:])
+        cidx = cam_idx.reshape(Bflat)
+        kps = keypoints_2d.reshape(Bflat, *keypoints_2d.shape[-2:])
+        out, hms = _device_preprocess(
+            imgs, cidx, kps, remaps, sigma, model_size, heatmap_size, out_dtype
+        )
+        out = out.reshape(*lead, model_size, model_size, 3)
+        hms = hms.reshape(*lead, *hms.shape[-3:])
+        return out, hms
+
+    return preprocess
+
+
+class SingleViewDataset:
+    """Synced rows -> fixed-shape host batches (images still uint8 raw)."""
+
+    def __init__(
+        self,
+        samples: Sequence[SingleViewSample],
+        rig: RigSpec,
+        image_hw: tuple[int, int],
+        extr_key_fn=None,  # sample -> extrinsic key (multi-pose rigs)
+    ):
+        self.samples = list(samples)
+        self.geometry = _RigGeometry(rig, image_hw)
+        self.extr_key_fn = extr_key_fn
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def batches(
+        self, batch_size: int, shuffle: bool = False, seed: int = 0, drop_last: bool = False
+    ) -> Iterator[dict]:
+        n = len(self.samples)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        H, W = self.geometry.image_hw
+        rig = self.geometry.rig
+        J = rig.robot.n_keypoints
+        A = rig.robot.n_joints
+        for start in range(0, n, batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                break
+            B = batch_size
+            images = np.zeros((B, H, W, 3), np.uint8)
+            cam_idx = np.zeros((B,), np.int32)
+            angles = np.zeros((B, A), np.float32)
+            kpts = np.zeros((B, J, 2), np.float32)
+            weight = np.zeros((B,), np.float32)
+            for slot, i in enumerate(idxs):
+                s = self.samples[i]
+                img = _load_image_rgb(s.image_path)
+                if img is None or img.shape[:2] != (H, W):
+                    continue  # weight stays 0 (reference: None-filter collate)
+                ek = self.extr_key_fn(s) if self.extr_key_fn else None
+                images[slot] = img
+                cam_idx[slot] = self.geometry.key_to_idx[s.camera_key]
+                angles[slot] = s.angles
+                kpts[slot] = self.geometry.gt_keypoints(s, ek)
+                weight[slot] = 1.0
+            yield {
+                "images_u8": images,
+                "cam_idx": cam_idx,
+                "angles": angles,
+                "keypoints_2d": kpts,
+                "sample_weight": weight,
+            }
+
+
+class MultiViewDataset:
+    """Grouped rows -> fixed-shape multi-view batches with view masks."""
+
+    def __init__(
+        self,
+        groups: Sequence[Mapping],
+        rig: RigSpec,
+        image_hw: tuple[int, int],
+        max_views: int | None = None,
+        pose_from_path=None,  # path -> pose name prefix for extrinsics
+        angles_transform=None,  # raw group angles -> model angle vector
+    ):
+        self.groups = list(groups)
+        self.geometry = _RigGeometry(rig, image_hw)
+        self.max_views = max_views or rig.max_views
+        self.pose_from_path = pose_from_path
+        self.angles_transform = angles_transform
+
+    def __len__(self) -> int:
+        return len(self.groups)
+
+    def batches(
+        self, batch_size: int, shuffle: bool = False, seed: int = 0, drop_last: bool = False
+    ) -> Iterator[dict]:
+        n = len(self.groups)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        H, W = self.geometry.image_hw
+        rig = self.geometry.rig
+        V = self.max_views
+        J = rig.robot.n_keypoints
+        A = rig.robot.n_joints
+        for start in range(0, n, batch_size):
+            idxs = order[start : start + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                break
+            B = batch_size
+            images = np.zeros((B, V, H, W, 3), np.uint8)
+            view_ids = np.zeros((B, V), np.int32)
+            view_mask = np.zeros((B, V), bool)
+            cam_idx = np.zeros((B, V), np.int32)
+            angles = np.zeros((B, A), np.float32)
+            kpts = np.zeros((B, V, J, 2), np.float32)
+            weight = np.zeros((B,), np.float32)
+            for slot, i in enumerate(idxs):
+                g = self.groups[i]
+                raw_angles = np.asarray(g["joint_angles"], np.float32)
+                if self.angles_transform:
+                    raw_angles = self.angles_transform(raw_angles)
+                angles[slot] = raw_angles[:A]
+                any_view = False
+                for v, vd in enumerate(g["views"][:V]):
+                    path = vd["image_path"]
+                    img = _load_image_rgb(path)
+                    if img is None or img.shape[:2] != (H, W):
+                        continue
+                    serial, cam = _parse_serial_cam(path)
+                    view = rig.serial_to_view.get(serial)
+                    if view is None:
+                        continue
+                    ckey = f"{view}_{cam}"
+                    if ckey not in self.geometry.key_to_idx:
+                        continue
+                    pose = self.pose_from_path(path) if self.pose_from_path else None
+                    ekey = f"{pose}_{ckey}" if pose else ckey
+                    if ekey not in rig.extrinsics:
+                        continue
+                    sample = SingleViewSample(
+                        image_path=path, camera_key=ckey, view=view, angles=angles[slot]
+                    )
+                    images[slot, v] = img
+                    view_ids[slot, v] = rig.view_index(serial, cam)
+                    cam_idx[slot, v] = self.geometry.key_to_idx[ckey]
+                    kpts[slot, v] = self.geometry.gt_keypoints(sample, ekey)
+                    view_mask[slot, v] = True
+                    any_view = True
+                weight[slot] = 1.0 if any_view else 0.0
+            yield {
+                "images_u8": images,
+                "view_ids": view_ids,
+                "view_mask": view_mask,
+                "cam_idx": cam_idx,
+                "angles": angles,
+                "keypoints_2d": kpts,
+                "sample_weight": weight,
+            }

@@ -25,17 +25,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_kernel(hm_ref, gx_ref, gy_ref, out_ref, *, temperature: float):
+def _decode_kernel(hm_ref, gx_ref, gy_ref, out_ref, *, temperature: float, width: int):
     hm = hm_ref[:].astype(jnp.float32)  # (BM, HW)
     gx = gx_ref[:]  # (1, HW)
     gy = gy_ref[:]
 
     peak = jnp.max(hm, axis=-1, keepdims=True)  # (BM, 1)
-    # First index achieving the max (torch.argmax tie-break parity).
+    # First index achieving the max (torch.argmax tie-break parity). The
+    # (x, y) coords then follow from index arithmetic - no gather needed
+    # (TPU Mosaic has no general gather).
     hw = hm.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, hm.shape, dimension=1)
     idx = jnp.min(jnp.where(hm >= peak, iota, hw), axis=-1, keepdims=True)
     idx_f = idx.astype(jnp.float32)
+    amax_x = (idx % width).astype(jnp.float32)
+    amax_y = (idx // width).astype(jnp.float32)
 
     # Soft-argmax expectation under temperature softmax.
     p = jnp.exp((hm - peak) * temperature)
@@ -45,12 +49,8 @@ def _decode_kernel(hm_ref, gx_ref, gy_ref, out_ref, *, temperature: float):
 
     conf = jax.nn.sigmoid(peak)
 
-    out_ref[:, 0:1] = jnp.take_along_axis(
-        jnp.broadcast_to(gx, hm.shape), idx, axis=-1
-    )
-    out_ref[:, 1:2] = jnp.take_along_axis(
-        jnp.broadcast_to(gy, hm.shape), idx, axis=-1
-    )
+    out_ref[:, 0:1] = amax_x
+    out_ref[:, 1:2] = amax_y
     out_ref[:, 2:3] = soft_x
     out_ref[:, 3:4] = soft_y
     out_ref[:, 4:5] = conf
@@ -94,7 +94,7 @@ def fused_peak_decode(
 
     grid = (M_pad // block_m,)
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, temperature=temperature),
+        functools.partial(_decode_kernel, temperature=temperature, width=W),
         out_shape=jax.ShapeDtypeStruct((M_pad, 8), jnp.float32),
         grid=grid,
         in_specs=[

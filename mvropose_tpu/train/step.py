@@ -38,6 +38,24 @@ def _shard_over_data(mesh: Mesh, tree):
     return jax.lax.with_sharding_constraint(tree, sh)
 
 
+def _shard_multiview_batch(mesh: Mesh, batch):
+    """Shard batch dim over 'data'; if the mesh has a model axis, also shard
+    the VIEW axis of the image tensor over it (view parallelism - the
+    domain's sequence parallelism: each model-group runs the backbone for a
+    subset of cameras, fusion all-gathers the per-view tokens over ICI)."""
+    n_model = mesh.shape.get("model", 1)
+    out = dict(batch)
+    if n_model > 1 and batch["images"].shape[1] % n_model == 0:
+        out["images"] = jax.lax.with_sharding_constraint(
+            batch["images"], NamedSharding(mesh, P("data", "model"))
+        )
+        rest = {k: v for k, v in batch.items() if k != "images"}
+        rest = _shard_over_data(mesh, rest)
+        out.update(rest)
+        return out
+    return _shard_over_data(mesh, out)
+
+
 def make_single_view_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -92,7 +110,7 @@ def make_multi_view_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Ca
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         if mesh is not None:
-            batch = _shard_over_data(mesh, batch)
+            batch = _shard_multiview_batch(mesh, batch)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

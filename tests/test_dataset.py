@@ -1,0 +1,162 @@
+"""Dataset + device preprocessing on a synthetic rig.
+
+The reference validated its data pipeline by eyeballing skeleton overlays
+(visualization notebooks); here the same chain - calib -> FK -> projection ->
+heatmap - is asserted numerically end to end.
+"""
+
+import json
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mvropose_tpu.calib.registry import CameraCalib, CameraExtrinsic, RigSpec
+from mvropose_tpu.geometry.robots import get_robot
+from mvropose_tpu.data.dataset import (
+    SingleViewSample,
+    SingleViewDataset,
+    MultiViewDataset,
+    make_device_preprocessor,
+    _RigGeometry,
+)
+from mvropose_tpu.geometry.heatmap import argmax_decode
+
+H, W = 60, 80
+K = np.array([[70.0, 0, 40.0], [0, 70.0, 30.0], [0, 0, 1.0]])
+DIST = np.zeros(5)
+
+
+@pytest.fixture
+def rig(tmp_path):
+    robot = get_robot("meca500")
+    calibs = {
+        "front_leftcam": CameraCalib(K, DIST),
+        "front_rightcam": CameraCalib(K, DIST),
+    }
+    extr = CameraExtrinsic(rvec=np.array([np.pi, 0.0, 0.0]), tvec=np.array([0.0, 0.1, 0.8]))
+    return RigSpec(
+        name="test",
+        robot=robot,
+        serial_to_view={"41182735": "front"},
+        calibs=calibs,
+        extrinsics={"front_leftcam": extr, "front_rightcam": extr},
+        heatmap_size=(32, 32),
+        sigma=2.0,
+        max_views=4,
+    )
+
+
+def _write_img(path, seed=0):
+    import cv2
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    cv2.imwrite(str(path), rng.integers(0, 255, size=(H, W, 3)).astype(np.uint8))
+
+
+def test_single_view_batches_fixed_shape(tmp_path, rig):
+    samples = []
+    for i in range(5):
+        p = tmp_path / f"zed_41182735_left_{1000 + i}.0.jpg"
+        _write_img(p, i)
+        samples.append(
+            SingleViewSample(
+                image_path=str(p),
+                camera_key="front_leftcam",
+                view="front",
+                angles=np.array([10.0 * i, -20, 30, 0, 45, 0], np.float32),
+            )
+        )
+    # One missing file -> weight 0 slot.
+    samples.append(
+        SingleViewSample(
+            image_path=str(tmp_path / "missing.jpg"),
+            camera_key="front_leftcam",
+            view="front",
+            angles=np.zeros(6, np.float32),
+        )
+    )
+    ds = SingleViewDataset(samples, rig, (H, W))
+    batches = list(ds.batches(batch_size=4))
+    assert len(batches) == 2
+    b0, b1 = batches
+    assert b0["images_u8"].shape == (4, H, W, 3)
+    assert b0["sample_weight"].tolist() == [1, 1, 1, 1]
+    # Second batch: 1 real + 1 missing-file + 2 padding slots.
+    assert b1["images_u8"].shape == (4, H, W, 3)
+    assert b1["sample_weight"].tolist() == [1, 0, 0, 0]
+    assert b0["keypoints_2d"].shape == (4, 7, 2)
+
+
+def test_gt_keypoints_project_inside_image(rig):
+    geo = _RigGeometry(rig, (H, W))
+    s = SingleViewSample(
+        image_path="x",
+        camera_key="front_leftcam",
+        view="front",
+        angles=np.array([0.0, -30, 30, 0, 0, 0], np.float32),
+    )
+    kps = geo.gt_keypoints(s)
+    assert kps.shape == (7, 2)
+    assert np.isfinite(kps).all()
+    # Base joint (origin) projects to the principal-point column (tvec x=0).
+    base_px = kps[0]
+    np.testing.assert_allclose(base_px[0], 40.0, atol=1.0)
+
+
+def test_device_preprocessor_end_to_end(tmp_path, rig):
+    samples = []
+    for i in range(2):
+        p = tmp_path / f"zed_41182735_left_{2000 + i}.0.jpg"
+        _write_img(p, i)
+        samples.append(
+            SingleViewSample(
+                image_path=str(p),
+                camera_key="front_leftcam",
+                view="front",
+                angles=np.array([0.0, -30, 30, 0, 0, 0], np.float32),
+            )
+        )
+    ds = SingleViewDataset(samples, rig, (H, W))
+    batch = next(ds.batches(batch_size=2))
+    pre = make_device_preprocessor(ds.geometry, model_size=64, heatmap_size=(32, 32), sigma=2.0)
+    imgs, hms = pre(
+        jnp.asarray(batch["images_u8"]),
+        jnp.asarray(batch["cam_idx"]),
+        jnp.asarray(batch["keypoints_2d"]),
+    )
+    assert imgs.shape == (2, 64, 64, 3)
+    assert hms.shape == (2, 7, 32, 32)
+    # Normalized images: roughly zero-mean for random input.
+    assert abs(float(jnp.mean(imgs))) < 2.0
+    # Heatmap argmax decodes back to the (scaled) GT keypoints.
+    xy, _ = argmax_decode(hms, apply_sigmoid=False)
+    want = batch["keypoints_2d"] * np.array([32 / W, 32 / H])
+    got = np.asarray(xy)
+    inside = (
+        (want[..., 0] > 1) & (want[..., 0] < 31) & (want[..., 1] > 1) & (want[..., 1] < 31)
+    )
+    np.testing.assert_allclose(got[inside], want[inside], atol=0.51)
+
+
+def test_multi_view_batches(tmp_path, rig):
+    groups = []
+    for g in range(3):
+        views = []
+        for side in ("left", "right"):
+            p = tmp_path / f"zed_41182735_{side}_{3000 + g}.0.jpg"
+            _write_img(p, g)
+            views.append({"image_path": str(p)})
+        groups.append(
+            {"views": views, "joint_angles": [10.0 * g, -20, 30, 0, 45, 0], "timestamp": float(g)}
+        )
+    ds = MultiViewDataset(groups, rig, (H, W))
+    batch = next(ds.batches(batch_size=3))
+    assert batch["images_u8"].shape == (3, 4, H, W, 3)
+    assert batch["view_mask"].sum() == 6  # 2 real views per group
+    assert batch["view_mask"][:, :2].all() and not batch["view_mask"][:, 2:].any()
+    assert batch["angles"].shape == (3, 6)
+    # view_ids come from the static serial table, not discovery order.
+    assert batch["view_ids"][0, 0] == rig.view_index("41182735", "leftcam")
+    assert batch["view_ids"][0, 1] == rig.view_index("41182735", "rightcam")
