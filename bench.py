@@ -27,6 +27,12 @@ BASELINE_FPS = 5.61
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the first bench run pays the remote TPU
+    # compile once; subsequent runs (and the driver's) hit the cache.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_cfg
@@ -41,7 +47,15 @@ def main() -> None:
     images = jax.random.normal(rng, (B, V, S, S, 3), jnp.float32)
     view_ids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
     view_mask = jnp.ones((B, V), dtype=bool)
-    variables = model.init(jax.random.PRNGKey(0), images, view_ids, view_mask)
+
+    # Build params WITHOUT compiling an init program on the TPU (the remote
+    # compile of a full init graph costs minutes and contributes nothing to a
+    # throughput benchmark): eval_shape the init, then materialize zeros
+    # (batch_stats vars included) directly on device.
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, images, view_ids, view_mask), jax.random.PRNGKey(0)
+    )
+    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     use_pallas = jax.default_backend() == "tpu"
 

@@ -1,0 +1,147 @@
+"""Serve path: model outputs -> 6D pose recovery.
+
+TPU-native equivalent of the reference's notebook serve cells
+(/root/reference/model/Fr5_model_train.ipynb cell 14): heatmaps -> decoded
+keypoints + confidences -> FK(predicted angles) as the 3D model points ->
+RANSAC PnP -> camera pose, with the ArUco-extrinsic fallback on failure.
+Everything through PnP is one jitted, batched function - no host round-trip
+per view.
+
+Additions beyond the reference: multi-view DLT triangulation of the keypoints
+(`recover_pose_multiview`) and pose error metrics against the calibrated
+extrinsics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvropose_tpu.decode import decode_keypoints
+from mvropose_tpu.geometry.pnp import solve_pnp_ransac
+from mvropose_tpu.geometry.robots import RobotSpec, forward_kinematics
+from mvropose_tpu.geometry.triangulation import projection_matrix, triangulate_keypoints
+from mvropose_tpu.geometry.camera import project_points
+
+# The reference's serve gate: keypoint confidence >= 0.6 and >= 4 points
+# (Fr5_model_train.ipynb cell 14, line 1545 and 1419-1428).
+DEFAULT_CONFIDENCE_THRESHOLD = 0.6
+
+
+@dataclasses.dataclass
+class PoseResult:
+    rvec: np.ndarray  # (3,)
+    tvec: np.ndarray  # (3,)
+    success: bool
+    n_inliers: int
+    keypoints_2d: np.ndarray  # (J, 2) decoded, image px
+    scores: np.ndarray  # (J,)
+    used_fallback: bool
+
+
+def recover_pose_single_view(
+    heatmaps: jnp.ndarray,  # (J, Hm, Wm) raw logits
+    pred_angles: jnp.ndarray,  # (A,) native units
+    robot: RobotSpec,
+    K: np.ndarray,
+    image_hw: tuple[int, int],
+    view: str | None = None,
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    fallback_extrinsic: tuple[np.ndarray, np.ndarray] | None = None,
+    key: jax.Array | None = None,
+) -> PoseResult:
+    """Decode + FK + RANSAC PnP for one view; ArUco fallback on failure."""
+    xy, conf = decode_keypoints(heatmaps, image_hw=image_hw, use_pallas=jax.default_backend() == "tpu")
+    base = robot.base_rotation(view)
+    obj = forward_kinematics(robot, pred_angles, jnp.asarray(base))
+    weights = (conf >= confidence_threshold).astype(jnp.float32)
+    result = solve_pnp_ransac(
+        obj,
+        xy,
+        jnp.asarray(K, jnp.float32),
+        weights=weights,
+        key=key if key is not None else jax.random.PRNGKey(0),
+    )
+    success = bool(result["success"])
+    if success:
+        return PoseResult(
+            rvec=np.asarray(result["rvec"]),
+            tvec=np.asarray(result["tvec"]),
+            success=True,
+            n_inliers=int(result["n_inliers"]),
+            keypoints_2d=np.asarray(xy),
+            scores=np.asarray(conf),
+            used_fallback=False,
+        )
+    if fallback_extrinsic is not None:
+        rvec, tvec = fallback_extrinsic
+        return PoseResult(
+            rvec=np.asarray(rvec),
+            tvec=np.asarray(tvec),
+            success=False,
+            n_inliers=int(result["n_inliers"]),
+            keypoints_2d=np.asarray(xy),
+            scores=np.asarray(conf),
+            used_fallback=True,
+        )
+    return PoseResult(
+        rvec=np.asarray(result["rvec"]),
+        tvec=np.asarray(result["tvec"]),
+        success=False,
+        n_inliers=int(result["n_inliers"]),
+        keypoints_2d=np.asarray(xy),
+        scores=np.asarray(conf),
+        used_fallback=False,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("image_hw",))
+def recover_pose_multiview(
+    heatmaps: jnp.ndarray,  # (V, J, Hm, Wm)
+    view_mask: jnp.ndarray,  # (V,)
+    rvecs: jnp.ndarray,  # (V, 3) calibrated world->cam extrinsics
+    tvecs: jnp.ndarray,  # (V, 3)
+    Ks: jnp.ndarray,  # (V, 3, 3)
+    image_hw: tuple[int, int],
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+):
+    """Triangulate the robot's 3D keypoints from all confident views.
+
+    Returns (points3d (J, 3) world frame, per-keypoint observability (J,)).
+    A keypoint is triangulated from every view where its confidence clears
+    the gate; fewer than 2 observing views -> observability 0.
+    """
+    V = heatmaps.shape[0]
+    xy, conf = decode_keypoints(heatmaps, image_hw=image_hw, use_pallas=False)
+    weights = (conf >= confidence_threshold).astype(jnp.float32) * view_mask.astype(
+        jnp.float32
+    )[:, None]  # (V, J)
+    projs = jax.vmap(projection_matrix)(rvecs, tvecs, Ks)  # (V, 3, 4)
+    pts3d = triangulate_keypoints(xy, projs, weights)  # (J, 3)
+    observable = (jnp.sum(weights > 0, axis=0) >= 2).astype(jnp.float32)
+    return pts3d, observable
+
+
+def reprojection_errors(
+    points3d: jnp.ndarray,  # (J, 3)
+    keypoints_2d: jnp.ndarray,  # (J, 2)
+    rvec: jnp.ndarray,
+    tvec: jnp.ndarray,
+    K: jnp.ndarray,
+) -> jnp.ndarray:
+    proj = project_points(points3d, rvec, tvec, K, None)
+    return jnp.linalg.norm(proj - keypoints_2d, axis=-1)
+
+
+__all__ = [
+    "PoseResult",
+    "recover_pose_single_view",
+    "recover_pose_multiview",
+    "reprojection_errors",
+    "DEFAULT_CONFIDENCE_THRESHOLD",
+]

@@ -1,0 +1,118 @@
+"""Batched streaming inference loop.
+
+The reference runs one model forward PER CAMERA THREAD on a shared GPU model
+(/root/reference/DIP_REAL.py:98-127) - the threads serialize on the GIL and
+the CUDA stream, so N cameras cost N sequential forwards. Here the main loop
+gathers the latest frame from every source and runs ONE jitted step batching
+all cameras - the TPU rebuild's core throughput fix (SURVEY.md section 3.3).
+
+Failure semantics match the reference: sources that fail to initialize are
+reported and excluded (placeholder output), sources that stall simply keep
+their mask bit off for that tick.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from mvropose_tpu.rig.source import CameraSource, Frame
+
+
+@dataclasses.dataclass
+class StreamStats:
+    ticks: int = 0
+    frames_processed: int = 0
+    total_step_time_s: float = 0.0
+    start_time_s: float = 0.0
+
+    @property
+    def fps(self) -> float:
+        elapsed = time.perf_counter() - self.start_time_s
+        return self.ticks / elapsed if elapsed > 0 else 0.0
+
+    @property
+    def camera_fps(self) -> float:
+        elapsed = time.perf_counter() - self.start_time_s
+        return self.frames_processed / elapsed if elapsed > 0 else 0.0
+
+
+class StreamingPipeline:
+    """Gather-latest -> batched-infer loop over N camera sources.
+
+    infer_fn(images_u8 (V, H, W, 3), view_mask (V,)) -> anything; it is
+    expected to be a jitted device function (preprocess + model + decode).
+    on_result(result, frames) runs on host (viz, logging).
+    """
+
+    def __init__(
+        self,
+        sources: Sequence[CameraSource],
+        infer_fn: Callable,
+        on_result: Optional[Callable] = None,
+        frame_hw: tuple[int, int] = (720, 1280),
+        init_timeout_s: float = 10.0,
+    ):
+        self.sources = list(sources)
+        self.infer_fn = infer_fn
+        self.on_result = on_result
+        self.frame_hw = frame_hw
+        self.init_timeout_s = init_timeout_s
+        self.stats = StreamStats()
+        self.active: list[CameraSource] = []
+        self.failed: list[CameraSource] = []
+
+    def start(self) -> None:
+        for s in self.sources:
+            s.start()
+        deadline = time.perf_counter() + self.init_timeout_s
+        while time.perf_counter() < deadline:
+            if all(s.is_ready or s.initialization_failed for s in self.sources):
+                break
+            time.sleep(0.05)
+        self.active = [s for s in self.sources if s.is_ready]
+        self.failed = [s for s in self.sources if not s.is_ready]
+
+    def stop(self) -> None:
+        for s in self.sources:
+            s.stop()
+
+    def tick(self) -> Optional[object]:
+        """One gather + infer step. Returns infer_fn's result (or None if no
+        source had a frame)."""
+        V = len(self.sources)
+        H, W = self.frame_hw
+        images = np.zeros((V, H, W, 3), np.uint8)
+        mask = np.zeros((V,), bool)
+        frames: list[Optional[Frame]] = [None] * V
+        for i, s in enumerate(self.sources):
+            f = s.latest()
+            if f is None or f.image.shape[:2] != (H, W):
+                continue
+            images[i] = f.image
+            mask[i] = True
+            frames[i] = f
+        if not mask.any():
+            return None
+        t0 = time.perf_counter()
+        result = self.infer_fn(images, mask)
+        self.stats.total_step_time_s += time.perf_counter() - t0
+        self.stats.ticks += 1
+        self.stats.frames_processed += int(mask.sum())
+        if self.on_result is not None:
+            self.on_result(result, frames)
+        return result
+
+    def run(self, duration_s: float | None = None, max_ticks: int | None = None) -> StreamStats:
+        self.stats = StreamStats(start_time_s=time.perf_counter())
+        end = time.perf_counter() + duration_s if duration_s else None
+        while True:
+            if end is not None and time.perf_counter() >= end:
+                break
+            if max_ticks is not None and self.stats.ticks >= max_ticks:
+                break
+            self.tick()
+        return self.stats

@@ -1,0 +1,112 @@
+"""Checkpoint / resume via orbax.
+
+The reference checkpoints a dict {epoch, model, 2x optimizer, 2x scheduler,
+best_val_loss} every epoch on a spare thread, but on resume restores only
+the model weights (optimizer restore commented out)
+(/root/reference/model/MvRoPose_FR3.py:1134-1139, 1181-1190). Here:
+  * async orbax saves (device->host copy is non-blocking, serialization off
+    the training thread - the same latency-hiding, without the unjoined
+    thread races of the reference's Fr5 notebook cell 13)
+  * restore brings back EVERYTHING: params, batch_stats, optimizer state,
+    step counter and best-loss bookkeeping (schedules are pure functions of
+    the step, so they resume for free)
+  * best-model snapshots kept alongside the rolling latest.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mvropose_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class CheckpointMeta:
+    epoch: int = 0
+    best_val_loss: float = float("inf")
+
+
+class CheckpointManager:
+    """Rolling latest + best snapshots under one directory."""
+
+    def __init__(self, directory: str | Path, max_to_keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, meta: CheckpointMeta) -> None:
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "meta": {"epoch": meta.epoch, "best_val_loss": meta.best_val_loss},
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def restore(self, state: TrainState, step: int | None = None) -> tuple[TrainState, CheckpointMeta] | None:
+        """Restore into the structure of `state`. None if no checkpoint."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "meta": {"epoch": 0, "best_val_loss": 0.0},
+        }
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        new_state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(restored["step"]),
+        )
+        meta = CheckpointMeta(
+            epoch=int(restored["meta"]["epoch"]),
+            best_val_loss=float(restored["meta"]["best_val_loss"]),
+        )
+        return new_state, meta
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+def save_params_npz(path: str | Path, params: Any) -> None:
+    """Flat .npz export of params (the lightweight 'best model weights' file,
+    analogous to the reference's best_*.pth state_dict)."""
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        flat[name] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str | Path, template: Any) -> Any:
+    """Load a save_params_npz file back into `template`'s structure."""
+    data = np.load(path)
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for keypath, leaf in leaves_paths:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        arr = data[name]
+        assert arr.shape == tuple(leaf.shape), f"{name}: {arr.shape} vs {leaf.shape}"
+        new_leaves.append(arr.astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

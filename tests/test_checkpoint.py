@@ -1,0 +1,86 @@
+"""Checkpoint round-trip: full state (params + optimizer + step) restores."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.models import EstimatorConfig, SingleViewPoseEstimator
+from mvropose_tpu.models.vit import VIT_TINY_TEST
+from mvropose_tpu.geometry.heatmap import render_heatmaps
+from mvropose_tpu.train import TrainConfig, create_train_state, make_single_view_train_step
+from mvropose_tpu.train.checkpoint import (
+    CheckpointManager,
+    CheckpointMeta,
+    save_params_npz,
+    load_params_npz,
+)
+
+TINY = EstimatorConfig(
+    vit=VIT_TINY_TEST, num_joints=3, num_angles=2, heatmap_size=(32, 32),
+    num_fusion_queries=2, num_angle_queries=2, dtype="float32",
+)
+
+
+def _mk_state_and_step(rng, cfg):
+    model = SingleViewPoseEstimator(TINY)
+    kps = rng.uniform(4, 28, size=(4, 3, 2)).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32)),
+        "heatmaps": render_heatmaps(jnp.asarray(kps), 32, 32, sigma=2.0),
+        "angles": jnp.asarray(rng.uniform(-1, 1, size=(4, 2)).astype(np.float32)),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    state = create_train_state(model, variables, cfg)
+    step = make_single_view_train_step(cfg)
+    return model, state, step, batch
+
+
+def test_checkpoint_full_roundtrip(tmp_path, rng):
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=10)
+    model, state, step, batch = _mk_state_and_step(rng, cfg)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(3, state, CheckpointMeta(epoch=1, best_val_loss=0.25))
+    mgr.wait()
+
+    # Fresh state, then restore: EVERYTHING must match (params, opt, step).
+    _, fresh, _, _ = _mk_state_and_step(np.random.default_rng(7), cfg)
+    restored, meta = mgr.restore(fresh)
+    assert int(restored.step) == 3
+    assert meta.epoch == 1 and meta.best_val_loss == 0.25
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state), jax.tree_util.tree_leaves(restored.opt_state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Training continues bit-identically from the restored state.
+    s1, m1 = step(state, batch, jax.random.PRNGKey(99))
+    s2, m2 = step(restored, batch, jax.random.PRNGKey(99))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-6)
+    mgr.close()
+
+
+def test_restore_none_when_empty(tmp_path, rng):
+    cfg = TrainConfig()
+    _, state, _, _ = _mk_state_and_step(rng, cfg)
+    mgr = CheckpointManager(tmp_path / "empty")
+    assert mgr.restore(state) is None
+    mgr.close()
+
+
+def test_params_npz_roundtrip(tmp_path, rng):
+    cfg = TrainConfig()
+    _, state, _, _ = _mk_state_and_step(rng, cfg)
+    path = tmp_path / "best.npz"
+    save_params_npz(path, state.params)
+    loaded = load_params_npz(path, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,104 @@
+"""Serve path: synthetic GT -> heatmaps -> recovered pose."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.geometry.robots import FR3, forward_kinematics
+from mvropose_tpu.geometry.camera import project_points
+from mvropose_tpu.geometry.heatmap import render_heatmaps
+from mvropose_tpu.geometry.rotations import rodrigues_to_matrix
+from mvropose_tpu.pose import (
+    recover_pose_single_view,
+    recover_pose_multiview,
+)
+
+K = np.array([[737.0, 0, 640.0], [0, 737.0, 360.0], [0, 0, 1]], dtype=np.float64)
+IMG_HW = (720, 1280)
+HM = 128
+
+
+def make_view(angles, rvec, tvec, peak_logit=6.0, drop_joints=()):
+    """Render synthetic heatmaps whose peaks sit at the true projections."""
+    pts = forward_kinematics(FR3, jnp.asarray(angles, jnp.float32))
+    px = np.asarray(
+        project_points(
+            pts, jnp.asarray(rvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+            jnp.asarray(K, jnp.float32), None,
+        )
+    )
+    kp_hm = px * np.array([HM / IMG_HW[1], HM / IMG_HW[0]])
+    maps = np.asarray(render_heatmaps(jnp.asarray(kp_hm, jnp.float32), HM, HM, sigma=2.0))
+    maps = maps * peak_logit - 3.0  # logits: peak ~ +3, background ~ -3
+    for j in drop_joints:
+        maps[j] = -3.0  # low-confidence everywhere
+    return jnp.asarray(maps), px
+
+
+def test_single_view_recovery():
+    rng = np.random.default_rng(0)
+    angles = rng.uniform(-1.2, 1.2, size=7)
+    rvec = np.array([0.2, -0.4, 0.1])
+    tvec = np.array([0.1, -0.05, 1.7])
+    heatmaps, px = make_view(angles, rvec, tvec)
+
+    res = recover_pose_single_view(
+        heatmaps, jnp.asarray(angles, jnp.float32), FR3, K, IMG_HW, view=None,
+        key=jax.random.PRNGKey(1),
+    )
+    assert res.success
+    # Heatmap quantization limits accuracy to ~ a heatmap cell (10px in
+    # image space here).
+    R1 = np.asarray(rodrigues_to_matrix(jnp.asarray(res.rvec, jnp.float32)))
+    R2 = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec, jnp.float32)))
+    ang = np.degrees(np.arccos(np.clip((np.trace(R1.T @ R2) - 1) / 2, -1, 1)))
+    assert ang < 5.0
+    assert np.linalg.norm(res.tvec - tvec) < 0.12
+
+
+def test_single_view_fallback_on_low_confidence():
+    rng = np.random.default_rng(1)
+    angles = rng.uniform(-1.0, 1.0, size=7)
+    rvec = np.array([0.1, 0.2, -0.1])
+    tvec = np.array([0.0, 0.0, 1.5])
+    # Drop all but 3 joints below the confidence gate -> PnP must refuse.
+    heatmaps, _ = make_view(angles, rvec, tvec, drop_joints=(0, 1, 2, 3, 4))
+
+    fb = (np.array([9.0, 9.0, 9.0]), np.array([9.0, 9.0, 9.0]))
+    res = recover_pose_single_view(
+        heatmaps, jnp.asarray(angles, jnp.float32), FR3, K, IMG_HW,
+        fallback_extrinsic=fb, key=jax.random.PRNGKey(0),
+    )
+    assert not res.success
+    assert res.used_fallback
+    np.testing.assert_array_equal(res.rvec, fb[0])
+
+
+def test_multiview_triangulation_recovery():
+    rng = np.random.default_rng(2)
+    angles = rng.uniform(-1.0, 1.0, size=7)
+    pts_world = np.asarray(forward_kinematics(FR3, jnp.asarray(angles, jnp.float32)))
+
+    rvecs, tvecs, maps = [], [], []
+    for i in range(4):
+        rvec = np.array([0.1 * i, 0.5 * i - 0.7, 0.05])
+        tvec = np.array([0.2 * i - 0.3, 0.05, 1.9])
+        hm, _ = make_view(angles, rvec, tvec)
+        rvecs.append(rvec)
+        tvecs.append(tvec)
+        maps.append(np.asarray(hm))
+
+    pts3d, obs = recover_pose_multiview(
+        jnp.asarray(np.stack(maps)),
+        jnp.ones(4, dtype=bool),
+        jnp.asarray(np.stack(rvecs), jnp.float32),
+        jnp.asarray(np.stack(tvecs), jnp.float32),
+        jnp.asarray(np.stack([K] * 4), jnp.float32),
+        IMG_HW,
+    )
+    assert np.asarray(obs).sum() >= 6
+    err = np.linalg.norm(np.asarray(pts3d) - pts_world, axis=-1)
+    # Heatmap-cell quantization (~10px) at ~1.9m depth -> ~2-3cm.
+    assert np.median(err[np.asarray(obs) > 0]) < 0.05

@@ -1,0 +1,99 @@
+"""Rig layer: replay/synthetic sources, streaming loop, failure handling."""
+
+import time
+
+import numpy as np
+import pytest
+
+from mvropose_tpu.rig import (
+    FileReplaySource,
+    SyntheticSource,
+    StreamingPipeline,
+    tile_frames,
+    draw_keypoints_overlay,
+)
+
+
+def test_file_replay_source(tmp_path):
+    import cv2
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.jpg"
+        cv2.imwrite(str(p), np.full((16, 24, 3), i * 40, np.uint8))
+        paths.append(p)
+    src = FileReplaySource("123", paths, fps=200.0)
+    src.start()
+    try:
+        deadline = time.time() + 5
+        while src.latest() is None and time.time() < deadline:
+            time.sleep(0.01)
+        f = src.latest()
+        assert f is not None
+        assert f.image.shape == (16, 24, 3)
+        assert f.serial == "123"
+    finally:
+        src.stop()
+
+
+def test_file_replay_source_missing_files():
+    src = FileReplaySource("999", ["/nonexistent/a.jpg"], fps=30.0)
+    src.start()
+    deadline = time.time() + 5
+    while not (src.is_ready or src.initialization_failed) and time.time() < deadline:
+        time.sleep(0.01)
+    assert src.initialization_failed
+    src.stop()
+
+
+def test_streaming_pipeline_batches_all_cameras():
+    hw = (16, 24)
+    sources = [SyntheticSource(f"cam{i}", hw=hw, fps=500.0) for i in range(3)]
+    sources.append(FileReplaySource("dead", ["/nope.jpg"]))  # failing camera
+
+    calls = []
+
+    def infer_fn(images, mask):
+        calls.append((images.shape, mask.copy()))
+        return mask.sum()
+
+    pipe = StreamingPipeline(sources, infer_fn, frame_hw=hw, init_timeout_s=5.0)
+    pipe.start()
+    try:
+        assert len(pipe.active) == 3
+        assert len(pipe.failed) == 1
+        deadline = time.time() + 5
+        while not all(s.latest() is not None for s in sources[:3]) and time.time() < deadline:
+            time.sleep(0.01)
+        stats = pipe.run(max_ticks=5)
+    finally:
+        pipe.stop()
+    assert stats.ticks == 5
+    # One batched call per tick covering ALL cameras (not per-camera calls).
+    shape, mask = calls[0]
+    assert shape == (4, *hw, 3)
+    assert mask[:3].all() and not mask[3]
+    assert stats.frames_processed == 15
+
+
+def test_tile_frames_layout_and_placeholder():
+    hw = (20, 30)
+    frames = {
+        "top": np.zeros((*hw, 3), np.uint8),
+        "left": np.zeros((*hw, 3), np.uint8),
+        "right": None,  # failed camera -> placeholder
+    }
+    canvas = tile_frames(frames, frame_hw=hw, max_wh=(1000, 1000))
+    assert canvas.ndim == 3
+    assert canvas.shape[0] == 40  # two rows of height 20
+    assert canvas.shape[1] == 60  # bottom row 2x30 wide
+
+
+def test_draw_keypoints_skips_low_confidence():
+    img = np.zeros((32, 32, 3), np.uint8)
+    kps = np.array([[5.0, 5.0], [20.0, 20.0]])
+    out = draw_keypoints_overlay(
+        img, kps, links=[(0, 1)], scores=np.array([0.9, 0.1]), min_score=0.5
+    )
+    assert out[5, 5].tolist() == [0, 255, 0]
+    assert out[20, 20].tolist() == [0, 0, 0]  # low-confidence point not drawn
