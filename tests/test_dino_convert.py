@@ -1,0 +1,168 @@
+"""DINO weight conversion: numerical parity against an independent numpy ViT.
+
+A timm-style random state dict is built for the tiny config, run through an
+independent numpy implementation of the standard pre-norm ViT forward, and
+the converted Flax backbone must reproduce its patch tokens.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.models.vit import ViTBackbone, ViTConfig
+from mvropose_tpu.models.dino_convert import convert_dino_state_dict
+
+CFG = ViTConfig(
+    image_size=32, patch_size=8, hidden_size=32, num_layers=2, num_heads=4,
+    num_register_tokens=2, layerscale_init=1e-5, dtype="float32",
+)
+
+
+def make_timm_state_dict(rng, cfg):
+    D = cfg.hidden_size
+    p = cfg.patch_size
+    N = cfg.num_patches
+    sd = {
+        "cls_token": rng.normal(size=(1, 1, D)) * 0.02,
+        "reg_token": rng.normal(size=(1, cfg.num_register_tokens, D)) * 0.02,
+        "pos_embed": rng.normal(size=(1, N + 1, D)) * 0.02,
+        "patch_embed.proj.weight": rng.normal(size=(D, 3, p, p)) * 0.05,
+        "patch_embed.proj.bias": rng.normal(size=(D,)) * 0.02,
+        "norm.weight": rng.uniform(0.5, 1.5, size=(D,)),
+        "norm.bias": rng.normal(size=(D,)) * 0.02,
+    }
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}."
+        sd[pre + "norm1.weight"] = rng.uniform(0.5, 1.5, size=(D,))
+        sd[pre + "norm1.bias"] = rng.normal(size=(D,)) * 0.02
+        sd[pre + "norm2.weight"] = rng.uniform(0.5, 1.5, size=(D,))
+        sd[pre + "norm2.bias"] = rng.normal(size=(D,)) * 0.02
+        sd[pre + "attn.qkv.weight"] = rng.normal(size=(3 * D, D)) * 0.05
+        sd[pre + "attn.qkv.bias"] = rng.normal(size=(3 * D,)) * 0.02
+        sd[pre + "attn.proj.weight"] = rng.normal(size=(D, D)) * 0.05
+        sd[pre + "attn.proj.bias"] = rng.normal(size=(D,)) * 0.02
+        sd[pre + "ls1.gamma"] = rng.uniform(0.9, 1.1, size=(D,)) * 1e-1
+        sd[pre + "ls2.gamma"] = rng.uniform(0.9, 1.1, size=(D,)) * 1e-1
+        sd[pre + "mlp.fc1.weight"] = rng.normal(size=(4 * D, D)) * 0.05
+        sd[pre + "mlp.fc1.bias"] = rng.normal(size=(4 * D,)) * 0.02
+        sd[pre + "mlp.fc2.weight"] = rng.normal(size=(D, 4 * D)) * 0.05
+        sd[pre + "mlp.fc2.bias"] = rng.normal(size=(D,)) * 0.02
+    return sd
+
+
+def np_layernorm(x, w, b, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def np_gelu(x):
+    from scipy.stats import norm
+
+    return x * norm.cdf(x)
+
+
+def np_vit_forward(sd, cfg, images):
+    """Independent numpy pre-norm ViT with LayerScale (timm semantics)."""
+    B = images.shape[0]
+    D, p, H = cfg.hidden_size, cfg.patch_size, cfg.num_heads
+    Dh = D // H
+    g = cfg.image_size // p
+
+    # Patch embed: conv stride p == per-patch linear on (p, p, 3) blocks.
+    W = sd["patch_embed.proj.weight"]  # (D, 3, p, p)
+    Wl = W.reshape(D, -1)  # flatten (3, p, p)
+    patches = images.reshape(B, g, p, g, p, 3).transpose(0, 1, 3, 5, 2, 4)  # (B,g,g,3,p,p)
+    patches = patches.reshape(B, g * g, 3 * p * p)
+    x = patches @ Wl.T + sd["patch_embed.proj.bias"]  # (B, N, D)
+
+    x = x + sd["pos_embed"][:, 1:]
+    cls = sd["cls_token"] + sd["pos_embed"][:, :1]
+    cls = np.broadcast_to(cls, (B, 1, D))
+    reg = np.broadcast_to(sd["reg_token"], (B, cfg.num_register_tokens, D))
+    x = np.concatenate([cls, reg, x], axis=1)
+
+    for i in range(cfg.num_layers):
+        pre = f"blocks.{i}."
+        h = np_layernorm(x, sd[pre + "norm1.weight"], sd[pre + "norm1.bias"])
+        qkv = h @ sd[pre + "attn.qkv.weight"].T + sd[pre + "attn.qkv.bias"]
+        q, k, v = np.split(qkv, 3, axis=-1)
+        T = x.shape[1]
+
+        def heads(z):
+            return z.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        att = q @ k.transpose(0, 1, 3, 2) / np.sqrt(Dh)
+        att = np.exp(att - att.max(-1, keepdims=True))
+        att = att / att.sum(-1, keepdims=True)
+        o = (att @ v).transpose(0, 2, 1, 3).reshape(B, T, D)
+        o = o @ sd[pre + "attn.proj.weight"].T + sd[pre + "attn.proj.bias"]
+        x = x + o * sd[pre + "ls1.gamma"]
+
+        h = np_layernorm(x, sd[pre + "norm2.weight"], sd[pre + "norm2.bias"])
+        h = np_gelu(h @ sd[pre + "mlp.fc1.weight"].T + sd[pre + "mlp.fc1.bias"])
+        h = h @ sd[pre + "mlp.fc2.weight"].T + sd[pre + "mlp.fc2.bias"]
+        x = x + h * sd[pre + "ls2.gamma"]
+
+    x = np_layernorm(x, sd["norm.weight"], sd["norm.bias"])
+    return x  # (B, 1+R+N, D)
+
+
+def test_converted_backbone_matches_numpy_reference(rng):
+    sd = make_timm_state_dict(rng, CFG)
+    params = convert_dino_state_dict(sd, CFG.num_layers, CFG.num_heads, CFG.hidden_size)
+
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    want = np_vit_forward(sd, CFG, images.astype(np.float64))
+
+    model = ViTBackbone(CFG)
+    out = model.apply({"params": params}, jnp.asarray(images))
+    got_cls = np.asarray(out["cls_token"])
+    got_reg = np.asarray(out["register_tokens"])
+    got_patch = np.asarray(out["patch_tokens"])
+
+    np.testing.assert_allclose(got_cls, want[:, 0], atol=2e-4)
+    np.testing.assert_allclose(got_reg, want[:, 1:3], atol=2e-4)
+    np.testing.assert_allclose(got_patch, want[:, 3:], atol=2e-4)
+
+
+def test_converted_shapes_match_flax_init(rng):
+    """Converted tree has exactly the structure flax init produces."""
+    sd = make_timm_state_dict(rng, CFG)
+    params = convert_dino_state_dict(sd, CFG.num_layers, CFG.num_heads, CFG.hidden_size)
+    model = ViTBackbone(CFG)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    flat_c = jax.tree_util.tree_leaves_with_path(params)
+    flat_i = jax.tree_util.tree_leaves_with_path(init)
+    paths_c = {jax.tree_util.keystr(p): v.shape for p, v in flat_c}
+    paths_i = {jax.tree_util.keystr(p): v.shape for p, v in flat_i}
+    assert paths_c == paths_i
+
+
+def test_hf_naming_accepted(rng):
+    """HF-style separate q/k/v names convert identically to timm qkv."""
+    sd = make_timm_state_dict(rng, CFG)
+    hf = {}
+    for k, v in sd.items():
+        if ".attn.qkv." in k:
+            pre, kind = k.split("attn.qkv.")
+            q, kk, vv = np.split(v, 3, axis=0)
+            hf[pre + "attention.attention.query." + kind] = q
+            hf[pre + "attention.attention.key." + kind] = kk
+            hf[pre + "attention.attention.value." + kind] = vv
+        elif ".attn.proj." in k:
+            hf[k.replace("attn.proj.", "attention.output.dense.")] = v
+        elif ".ls1.gamma" in k:
+            hf[k.replace("ls1.gamma", "layer_scale1.lambda1")] = v
+        elif ".ls2.gamma" in k:
+            hf[k.replace("ls2.gamma", "layer_scale2.lambda1")] = v
+        else:
+            hf[k] = v
+    p1 = convert_dino_state_dict(sd, CFG.num_layers, CFG.num_heads, CFG.hidden_size)
+    p2 = convert_dino_state_dict(hf, CFG.num_layers, CFG.num_heads, CFG.hidden_size)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
