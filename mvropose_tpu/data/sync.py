@@ -63,6 +63,15 @@ def match_nearest(
     n = len(ref_ts)
     if n == 0:
         return np.zeros(len(query_ts), np.int64), np.zeros(len(query_ts), bool)
+    if len(query_ts) * n > 1_000_000:
+        # Large logs: use the native binary-search matcher when available.
+        try:
+            from mvropose_tpu.native import match_nearest_native, native_available
+
+            if native_available():
+                return match_nearest_native(query_ts, ref_ts, tolerance_s)
+        except ImportError:
+            pass
     pos = np.searchsorted(ref_ts, query_ts)
     left = np.clip(pos - 1, 0, n - 1)
     right = np.clip(pos, 0, n - 1)
