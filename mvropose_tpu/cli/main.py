@@ -1,0 +1,459 @@
+"""CLI: sync / group / calibrate / train / eval / serve subcommands.
+
+One entry point replaces the reference's loose per-robot scripts
+(sync/*.py, dataset/*_Calib_cam_save.py, dataset/*_preprocessing.py, the
+trainer mains and DIP_REAL.py). Outputs keep the reference's file schemas
+(matched CSVs, calib JSONs, aruco summary JSONs) so artifacts interoperate.
+
+Usage examples:
+  python -m mvropose_tpu.cli sync fr5 --base-dirs d1 d2 --out fr5.csv
+  python -m mvropose_tpu.cli group --csv fr3.csv --max-views 8
+  python -m mvropose_tpu.cli calibrate intrinsics --conf SN1.conf --serial 1 \
+      --view top --resolution FHD --out-dir calib/
+  python -m mvropose_tpu.cli calibrate manual --view front --cam leftcam \
+      --tvec 0 -0.01 0.75 --rvec-deg 96 98 -45 --out summary.json
+  python -m mvropose_tpu.cli train --robot fr5 ... (see train --help)
+  python -m mvropose_tpu.cli serve --replay-dir frames/ --views 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_sync(args) -> int:
+    import pandas as pd
+
+    from mvropose_tpu.data import sync as S
+
+    cfg = S.SyncConfig(tolerance_s=args.tolerance, image_delay_s=args.image_delay)
+    if args.robot == "fr5":
+        df = S.sync_fr5(args.base_dirs, cfg)
+    elif args.robot == "fr3":
+        df = S.sync_fr3(args.base_dirs, args.joint_dir, cfg)
+    elif args.robot == "dream":
+        dfs = [S.sync_dream(d) for d in args.base_dirs]
+        df = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+    elif args.robot == "meca500":
+        df = S.sync_meca500(args.base_dirs[0], args.joint_dir)
+    elif args.robot == "meca_insertion":
+        df = S.sync_meca_insertion(args.base_dirs, args.joint_dir, cfg)
+    else:
+        raise SystemExit(f"unknown robot {args.robot}")
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(args.out, index=False)
+    print(f"synced {len(df)} rows -> {args.out}")
+    return 0
+
+
+def _cmd_group(args) -> int:
+    import pandas as pd
+
+    from mvropose_tpu.data.grouping import group_by_time_tolerance, tolerance_grid_search
+
+    df = pd.read_csv(args.csv)
+    ts_col = args.ts_col
+    cands = np.round(np.arange(0.05, 0.101, 0.01), 2)
+    best, dist = tolerance_grid_search(df, cands, args.max_views, ts_col=ts_col)
+    for tol, counts in dist.items():
+        print(f"tolerance {tol:.2f}: {dict(sorted(counts.items(), reverse=True))}")
+    print(f"recommended tolerance: {best}")
+    groups = group_by_time_tolerance(
+        df, args.tolerance, args.max_views, ts_col=ts_col, min_views=args.min_views
+    )
+    print(f"final: {len(groups)} groups at tolerance {args.tolerance}")
+    if args.out:
+        Path(args.out).write_text(json.dumps(groups, default=str))
+        print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_calibrate(args) -> int:
+    from mvropose_tpu.calib import load_zed_intrinsics
+
+    if args.calib_cmd == "intrinsics":
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for side, name in (("LEFT", "leftcam"), ("RIGHT", "rightcam")):
+            intr = load_zed_intrinsics(args.conf, side, args.resolution)
+            path = out_dir / f"{args.view}_{args.serial}_{name}_calib.json"
+            path.write_text(json.dumps(intr.to_json_dict(), indent=4))
+            print(f"wrote {path}")
+        return 0
+
+    if args.calib_cmd == "manual":
+        # Meca500-style precomputed extrinsic (reference
+        # dataset/Meca500_preprocessing.py) - rvec stored in DEGREES, per the
+        # reference schema for deg-unit robots.
+        rec = {
+            "view": args.view,
+            "cam": args.cam,
+            "tvec_x": args.tvec[0], "tvec_y": args.tvec[1], "tvec_z": args.tvec[2],
+            "rvec_x": args.rvec_deg[0], "rvec_y": args.rvec_deg[1], "rvec_z": args.rvec_deg[2],
+        }
+        out = Path(args.out)
+        records = json.loads(out.read_text()) if out.exists() else []
+        records = [r for r in records if not (r["view"] == args.view and r["cam"] == args.cam)]
+        records.append(rec)
+        out.write_text(json.dumps(records, indent=2))
+        print(f"wrote {out} ({len(records)} records)")
+        return 0
+
+    if args.calib_cmd == "extrinsics":
+        from mvropose_tpu.calib.aruco import average_marker_detections, compute_view_pose
+
+        raw_dir = Path(args.aruco_dir)
+        offsets = json.loads(Path(args.offsets).read_text())  # {view: {mid: [x,y,z]}}
+        # Group detection JSONs by (view, cam) from filenames view_*_cam_*.json
+        from collections import defaultdict
+
+        per_cam: dict = defaultdict(lambda: defaultdict(list))
+        for f in sorted(raw_dir.glob("*.json")):
+            parts = f.name.split("_")
+            view, cam = parts[0], parts[2]
+            content = json.loads(f.read_text())
+            for mid, det in content.items():
+                per_cam[(view, cam)][mid].append(det)
+        records = []
+        for (view, cam), markers in per_cam.items():
+            averaged = {}
+            for mid, dets in markers.items():
+                avg = average_marker_detections(dets, angular_outlier_deg=args.outlier_deg)
+                if avg is not None:
+                    averaged[mid] = avg
+            view_offsets = {
+                mid: np.asarray(v) for mid, v in offsets.get(view, {}).items()
+            }
+            pose = compute_view_pose(averaged, view_offsets)
+            if pose is None:
+                print(f"[{view}/{cam}] no usable markers, skipped")
+                continue
+            records.append(
+                {
+                    "view": view, "cam": cam,
+                    "tvec_x": float(pose["tvec"][0]), "tvec_y": float(pose["tvec"][1]),
+                    "tvec_z": float(pose["tvec"][2]),
+                    "rvec_x": float(pose["rvec"][0]), "rvec_y": float(pose["rvec"][1]),
+                    "rvec_z": float(pose["rvec"][2]),
+                    "n_markers": pose["n_markers"],
+                }
+            )
+            print(f"[{view}/{cam}] pose from {pose['n_markers']} markers")
+        Path(args.out).write_text(json.dumps(records, indent=2))
+        print(f"wrote {args.out}")
+        return 0
+    raise SystemExit("unknown calibrate subcommand")
+
+
+def _load_rig_from_args(args):
+    from mvropose_tpu.calib.registry import (
+        FR3_SERIAL_TO_VIEW,
+        FR5_SERIAL_TO_VIEW,
+        MECA_INSERTION_SERIAL_TO_VIEW,
+        load_rig,
+    )
+
+    serial_maps = {
+        "fr5": FR5_SERIAL_TO_VIEW,
+        "fr3": FR3_SERIAL_TO_VIEW,
+        "meca500": {"41182735": "front"},
+        "dream_panda": {"00000000": "cam"},
+        "meca_insertion": MECA_INSERTION_SERIAL_TO_VIEW,
+    }
+    robot = {"meca_insertion": "meca500", "dream": "dream_panda"}.get(args.robot, args.robot)
+    aruco = None
+    if args.aruco_summary:
+        paths = [Path(p) for p in args.aruco_summary]
+        if len(paths) == 1:
+            aruco = paths[0]
+        else:
+            aruco = {p.stem.split("_")[0]: p for p in paths}  # pose1_... -> pose1
+    return load_rig(
+        args.robot,
+        robot,
+        serial_maps.get(args.robot, {}),
+        calib_dir=args.calib_dir,
+        aruco_summary_paths=aruco,
+        sigma=args.sigma,
+    )
+
+
+def _cmd_train(args) -> int:
+    import pandas as pd
+    import jax
+    import jax.numpy as jnp
+
+    from mvropose_tpu.data import builders
+    from mvropose_tpu.data.dataset import make_device_preprocessor
+    from mvropose_tpu.models import (
+        EstimatorConfig,
+        MultiViewPoseEstimator,
+        SingleViewPoseEstimator,
+    )
+    from mvropose_tpu.models.vit import ViTConfig
+    from mvropose_tpu.parallel import make_mesh
+    from mvropose_tpu.train import (
+        TrainConfig,
+        create_train_state,
+        make_eval_step,
+        make_multi_view_train_step,
+        make_single_view_train_step,
+    )
+    from mvropose_tpu.train.loop import fit
+
+    rig = _load_rig_from_args(args)
+    df = pd.concat([pd.read_csv(c) for c in args.csv], ignore_index=True)
+    image_hw = tuple(args.image_hw)
+
+    multi_view = args.robot == "fr3" and not args.single_view
+    if args.robot == "dream":
+        ds = builders.build_dream_single_view(df, rig, image_hw)
+    elif args.robot == "fr5":
+        ds = builders.build_fr5_single_view(df, rig, image_hw)
+    elif args.robot == "meca500":
+        ds = builders.build_meca500_single_view(df, rig, image_hw)
+    elif multi_view:
+        ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
+    else:
+        raise SystemExit(f"no builder for robot {args.robot}")
+    train_ds, val_ds = builders.train_val_split(ds, args.val_split)
+    print(f"dataset: {len(train_ds)} train / {len(val_ds)} val")
+
+    vit = ViTConfig(
+        image_size=args.model_size, patch_size=16,
+        hidden_size=args.hidden_size, num_layers=args.num_layers,
+        num_heads=args.hidden_size // 64, dtype="bfloat16",
+    )
+    n_kp = rig.robot.n_keypoints
+    cfg = EstimatorConfig(
+        vit=vit, num_joints=n_kp, num_angles=rig.robot.n_joints,
+        heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
+    )
+    model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
+
+    mesh = make_mesh()
+    tcfg = TrainConfig(
+        num_epochs=args.epochs,
+        steps_per_epoch=max(1, len(train_ds) // args.batch_size),
+        lr_kpt=args.lr_kpt, lr_ang=args.lr_ang,
+        loss_weight_kpt=args.loss_weight_kpt,
+    )
+    pre = make_device_preprocessor(
+        ds.geometry, args.model_size, rig.heatmap_size, rig.sigma, out_dtype="float32"
+    )
+
+    def to_device(batch):
+        imgs, hms = pre(
+            jnp.asarray(batch["images_u8"]),
+            jnp.asarray(batch["cam_idx"]),
+            jnp.asarray(batch["keypoints_2d"]),
+        )
+        out = {"images": imgs, "heatmaps": hms, "angles": jnp.asarray(batch["angles"])}
+        if multi_view:
+            out["view_ids"] = jnp.asarray(batch["view_ids"])
+            out["view_mask"] = jnp.asarray(batch["view_mask"])
+        else:
+            out["sample_weight"] = jnp.asarray(batch["sample_weight"])
+        return out
+
+    def train_batches(epoch):
+        for b in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
+            yield to_device(b)
+
+    def val_batches():
+        for b in val_ds.batches(args.batch_size):
+            yield to_device(b)
+
+    # Init with one small example batch.
+    first = to_device(next(iter(train_ds.batches(min(args.batch_size, 2)))))
+    if multi_view:
+        variables = model.init(
+            jax.random.PRNGKey(0), first["images"], first["view_ids"], first["view_mask"]
+        )
+        step = make_multi_view_train_step(tcfg, mesh)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), first["images"])
+        step = make_single_view_train_step(tcfg, mesh)
+    state = create_train_state(model, variables, tcfg)
+    eval_step = make_eval_step(tcfg, multi_view, mesh)
+
+    with mesh:
+        result = fit(
+            state, step, eval_step, train_batches, val_batches, tcfg, args.workdir
+        )
+    print(f"done: best val loss {result.best_val_loss:.6f} over {result.epochs_run} epochs")
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from mvropose_tpu.rig import FileReplaySource, StreamingPipeline, SyntheticSource
+
+    hw = tuple(args.frame_hw)
+    if args.replay_dir:
+        paths = sorted(Path(args.replay_dir).glob("*.jpg")) + sorted(
+            Path(args.replay_dir).glob("*.png")
+        )
+        chunks = np.array_split(np.asarray(paths, dtype=object), args.views)
+        sources = [
+            FileReplaySource(f"replay{i}", list(chunks[i]), fps=args.fps)
+            for i in range(args.views)
+        ]
+    else:
+        sources = [
+            SyntheticSource(f"synthetic{i}", hw=hw, fps=args.fps) for i in range(args.views)
+        ]
+
+    from mvropose_tpu.decode import decode_keypoints
+    from mvropose_tpu.models import EstimatorConfig, MultiViewPoseEstimator
+    from mvropose_tpu.models.vit import ViTConfig
+
+    vit = ViTConfig(
+        image_size=args.model_size, patch_size=16, hidden_size=args.hidden_size,
+        num_layers=args.num_layers, num_heads=args.hidden_size // 64, dtype="bfloat16",
+    )
+    cfg = EstimatorConfig(vit=vit, num_joints=8, num_angles=7, max_views=args.views)
+    model = MultiViewPoseEstimator(cfg)
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, args.views, args.model_size, args.model_size, 3)),
+            jnp.zeros((1, args.views), jnp.int32),
+            jnp.zeros((1, args.views), bool),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if args.params:
+        from mvropose_tpu.train.checkpoint import load_params_npz
+
+        variables = dict(variables)
+        variables["params"] = load_params_npz(args.params, variables["params"])
+    view_ids = jnp.arange(args.views, dtype=jnp.int32)[None]
+
+    @jax.jit
+    def infer(images_u8, mask):
+        imgs = images_u8.astype(jnp.float32) / 255.0
+        imgs = jax.image.resize(
+            imgs, (args.views, args.model_size, args.model_size, 3), "bilinear"
+        )
+        from mvropose_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+        imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        hm, ang = model.apply(variables, imgs[None], view_ids, mask[None])
+        xy, conf = decode_keypoints(hm[0], image_hw=hw, use_pallas=jax.default_backend() == "tpu")
+        return xy, conf, ang
+
+    def infer_np(images, mask):
+        return infer(jnp.asarray(images), jnp.asarray(mask))
+
+    pipe = StreamingPipeline(sources, infer_np, frame_hw=hw)
+    pipe.start()
+    try:
+        print(f"active cameras: {len(pipe.active)}, failed: {len(pipe.failed)}")
+        # Warmup tick to compile.
+        while pipe.tick() is None:
+            pass
+        stats = pipe.run(duration_s=args.duration)
+    finally:
+        pipe.stop()
+    print(
+        f"served {stats.ticks} ticks ({stats.frames_processed} camera frames) "
+        f"at {stats.fps:.2f} tick/s = {stats.camera_fps:.2f} camera-frames/s"
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mvropose_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sync", help="synchronize images with joint logs")
+    ps.add_argument("robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"])
+    ps.add_argument("--base-dirs", nargs="+", required=True)
+    ps.add_argument("--joint-dir", default=None)
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--tolerance", type=float, default=0.05)
+    ps.add_argument("--image-delay", type=float, default=0.0333)
+    ps.set_defaults(fn=_cmd_sync)
+
+    pg = sub.add_parser("group", help="multi-view temporal grouping + grid search")
+    pg.add_argument("--csv", required=True)
+    pg.add_argument("--ts-col", default="robot_timestamp")
+    pg.add_argument("--tolerance", type=float, default=0.07)
+    pg.add_argument("--max-views", type=int, default=8)
+    pg.add_argument("--min-views", type=int, default=2)
+    pg.add_argument("--out", default=None)
+    pg.set_defaults(fn=_cmd_group)
+
+    pc = sub.add_parser("calibrate", help="camera calibration tools")
+    csub = pc.add_subparsers(dest="calib_cmd", required=True)
+    ci = csub.add_parser("intrinsics")
+    ci.add_argument("--conf", required=True)
+    ci.add_argument("--serial", required=True)
+    ci.add_argument("--view", required=True)
+    ci.add_argument("--resolution", default="FHD")
+    ci.add_argument("--out-dir", required=True)
+    cm = csub.add_parser("manual")
+    cm.add_argument("--view", required=True)
+    cm.add_argument("--cam", required=True)
+    cm.add_argument("--tvec", type=float, nargs=3, required=True)
+    cm.add_argument("--rvec-deg", type=float, nargs=3, required=True)
+    cm.add_argument("--out", required=True)
+    ce = csub.add_parser("extrinsics")
+    ce.add_argument("--aruco-dir", required=True)
+    ce.add_argument("--offsets", required=True, help="JSON {view: {marker_id: [x,y,z]}}")
+    ce.add_argument("--outlier-deg", type=float, default=1.0)
+    ce.add_argument("--out", required=True)
+    pc.set_defaults(fn=_cmd_calibrate)
+
+    pt = sub.add_parser("train", help="train an estimator")
+    pt.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500"], required=True)
+    pt.add_argument("--csv", nargs="+", required=True)
+    pt.add_argument("--calib-dir", default=None)
+    pt.add_argument("--aruco-summary", nargs="*", default=None)
+    pt.add_argument("--workdir", default="runs/default")
+    pt.add_argument("--image-hw", type=int, nargs=2, default=[1080, 1920])
+    pt.add_argument("--model-size", type=int, default=224)
+    pt.add_argument("--hidden-size", type=int, default=768)
+    pt.add_argument("--num-layers", type=int, default=12)
+    pt.add_argument("--batch-size", type=int, default=16)
+    pt.add_argument("--epochs", type=int, default=100)
+    pt.add_argument("--val-split", type=float, default=0.1)
+    pt.add_argument("--lr-kpt", type=float, default=1e-4)
+    pt.add_argument("--lr-ang", type=float, default=1e-4)
+    pt.add_argument("--loss-weight-kpt", type=float, default=100.0)
+    pt.add_argument("--sigma", type=float, default=5.0)
+    pt.add_argument("--tolerance", type=float, default=0.07)
+    pt.add_argument("--single-view", action="store_true")
+    pt.set_defaults(fn=_cmd_train)
+
+    pv = sub.add_parser("serve", help="realtime streaming rig inference")
+    pv.add_argument("--replay-dir", default=None)
+    pv.add_argument("--views", type=int, default=4)
+    pv.add_argument("--fps", type=float, default=30.0)
+    pv.add_argument("--frame-hw", type=int, nargs=2, default=[720, 1280])
+    pv.add_argument("--model-size", type=int, default=512)
+    pv.add_argument("--hidden-size", type=int, default=768)
+    pv.add_argument("--num-layers", type=int, default=12)
+    pv.add_argument("--duration", type=float, default=10.0)
+    pv.add_argument("--params", default=None, help="best_params.npz from training")
+    pv.set_defaults(fn=_cmd_serve)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""Per-robot dataset builders: synced DataFrames -> dataset objects.
+
+The glue the reference embedded in each trainer's main() (CSV row ->
+dataset pair construction, e.g. /root/reference/model/DREAM_Train.py:779,
+Fr5_model_train.ipynb cell 13). One builder per robot family, all returning
+the same SingleViewDataset / MultiViewDataset types.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from mvropose_tpu.calib.registry import RigSpec
+from mvropose_tpu.data.dataset import (
+    SingleViewDataset,
+    SingleViewSample,
+    MultiViewDataset,
+)
+from mvropose_tpu.data.sync import DREAM_KEYPOINT_NAMES
+from mvropose_tpu.data.grouping import group_by_time_tolerance
+
+
+def _serial_view_from_path(path: str, rig: RigSpec) -> tuple[str, str, str] | None:
+    parts = Path(path).name.split("_")
+    if len(parts) < 3:
+        return None
+    serial, cam = parts[1], parts[2] + "cam"
+    view = rig.serial_to_view.get(serial)
+    if view is None:
+        return None
+    return serial, cam, view
+
+
+def build_fr5_single_view(
+    df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (1080, 1920)
+) -> SingleViewDataset:
+    """Fr5 rows (joint_1..joint_6 in degrees) -> single-view dataset with
+    on-the-fly FK+projection GT."""
+    samples = []
+    n = rig.robot.n_joints
+    for _, row in df.iterrows():
+        svc = _serial_view_from_path(row["image_path"], rig)
+        if svc is None:
+            continue
+        serial, cam, view = svc
+        ckey = f"{view}_{cam}"
+        if ckey not in rig.calibs or ckey not in rig.extrinsics:
+            continue
+        samples.append(
+            SingleViewSample(
+                image_path=row["image_path"],
+                camera_key=ckey,
+                view=view,
+                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
+            )
+        )
+    return SingleViewDataset(samples, rig, image_hw)
+
+
+def build_meca500_single_view(
+    df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (1080, 1920)
+) -> SingleViewDataset:
+    """Meca500: one fixed camera ('front_leftcam'), degrees."""
+    samples = []
+    n = rig.robot.n_joints
+    ckey = next(iter(rig.calibs))
+    view = ckey.split("_")[0]
+    for _, row in df.iterrows():
+        samples.append(
+            SingleViewSample(
+                image_path=row["image_path"],
+                camera_key=ckey,
+                view=view,
+                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
+            )
+        )
+    return SingleViewDataset(samples, rig, image_hw)
+
+
+def build_dream_single_view(
+    df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (480, 640)
+) -> SingleViewDataset:
+    """DREAM: stored 2D keypoints (no FK needed), one camera per subset dir."""
+    samples = []
+    ckey = next(iter(rig.calibs))
+    view = ckey.split("_")[0]
+    for _, row in df.iterrows():
+        kps = np.asarray(
+            [[row[f"kpt_{n}_proj_x"], row[f"kpt_{n}_proj_y"]] for n in DREAM_KEYPOINT_NAMES],
+            np.float32,
+        )
+        samples.append(
+            SingleViewSample(
+                image_path=row["image_path"],
+                camera_key=ckey,
+                view=view,
+                angles=np.asarray([row[f"joint_{i}"] for i in range(1, 8)], np.float32),
+                keypoints_2d=kps,
+            )
+        )
+    return SingleViewDataset(samples, rig, image_hw)
+
+
+def build_fr3_multi_view(
+    df: pd.DataFrame,
+    rig: RigSpec,
+    image_hw: tuple[int, int] = (1200, 1920),
+    tolerance_s: float = 0.07,
+    max_views: int = 8,
+    min_views: int = 2,
+) -> MultiViewDataset:
+    """FR3: temporal grouping -> multi-view dataset; pose1/pose2 extrinsic
+    selection from the image path (the reference's path sniffing,
+    MvRoPose_FR3.py:205)."""
+    angle_cols = [c for c in df.columns if c.startswith("position_fr3_joint")]
+    angle_cols = sorted(angle_cols, key=lambda c: int(c.rsplit("joint", 1)[1]))
+    groups = group_by_time_tolerance(
+        df, tolerance_s, max_views, ts_col="robot_timestamp",
+        angle_cols=angle_cols, min_views=min_views,
+    )
+
+    def pose_from_path(path: str) -> str | None:
+        for pose in ("pose1", "pose2"):
+            if pose in path:
+                return pose
+        return None
+
+    return MultiViewDataset(
+        groups, rig, image_hw, max_views=max_views, pose_from_path=pose_from_path
+    )
+
+
+def train_val_split(dataset, val_fraction: float = 0.1, seed: int = 42):
+    """Deterministic split (the reference seeds 42 everywhere)."""
+    import copy
+
+    n = len(dataset.samples) if hasattr(dataset, "samples") else len(dataset.groups)
+    order = np.arange(n)
+    np.random.default_rng(seed).shuffle(order)
+    n_train = int(n * (1 - val_fraction))
+    train = copy.copy(dataset)
+    val = copy.copy(dataset)
+    if hasattr(dataset, "samples"):
+        train.samples = [dataset.samples[i] for i in order[:n_train]]
+        val.samples = [dataset.samples[i] for i in order[n_train:]]
+    else:
+        train.groups = [dataset.groups[i] for i in order[:n_train]]
+        val.groups = [dataset.groups[i] for i in order[n_train:]]
+    return train, val

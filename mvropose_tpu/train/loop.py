@@ -63,8 +63,9 @@ def fit(
 
     history = []
     rng = jax.random.PRNGKey(seed)
-    epoch = start_epoch
+    epochs_run = 0
     for epoch in range(start_epoch, cfg.num_epochs):
+        epochs_run += 1
         # Per-epoch reshuffle: the sampler.set_epoch equivalent is just a new
         # PRNG fold (the batch source reshuffles with `epoch` as seed).
         t0 = time.time()
@@ -111,4 +112,4 @@ def fit(
             on_epoch_end(epoch, state, record)
 
     ckpt.wait()
-    return FitResult(state=state, best_val_loss=best_val, epochs_run=epoch + 1 - start_epoch, history=history)
+    return FitResult(state=state, best_val_loss=best_val, epochs_run=epochs_run, history=history)

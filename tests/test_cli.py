@@ -1,0 +1,153 @@
+"""CLI end-to-end: sync -> calibrate -> train -> serve on synthetic fixtures.
+
+This is the framework's integration slice for BASELINE configs 1/2/5 in
+miniature: real file formats, real CLI paths, tiny model.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mvropose_tpu.cli.main import main
+
+
+CONF_TEXT = """\
+[LEFT_CAM_FHD]
+cx = 40.0
+cy = 30.0
+fx = 70.0
+fy = 70.0
+k1 = 0.0
+k2 = 0.0
+k3 = 0.0
+p1 = 0.0
+p2 = 0.0
+
+[RIGHT_CAM_FHD]
+cx = 40.0
+cy = 30.0
+fx = 70.0
+fy = 70.0
+k1 = 0.0
+k2 = 0.0
+k3 = 0.0
+p1 = 0.0
+p2 = 0.0
+"""
+
+
+def _write_images(d: Path, n=6, hw=(60, 80), serial="41182735", side="left"):
+    import cv2
+
+    d.mkdir(parents=True, exist_ok=True)
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        p = d / f"zed_{serial}_{side}_{1000.0 + i:.3f}.jpg"
+        cv2.imwrite(str(p), rng.integers(0, 255, size=(*hw, 3)).astype(np.uint8))
+        paths.append(p)
+    return paths
+
+
+def test_cli_sync_and_calibrate_and_train_meca500(tmp_path):
+    # --- sync (meca500 index pairing) ---
+    img_dir = tmp_path / "image"
+    ang_dir = tmp_path / "angle"
+    ang_dir.mkdir()
+    import cv2
+
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        cv2.imwrite(
+            str(img_dir / f"image{i}.jpg"), rng.integers(0, 255, size=(60, 80, 3)).astype(np.uint8)
+        )
+        (ang_dir / f"angle{i}.json").write_text(
+            json.dumps([float(10 * i), -20.0, 30.0, 0.0, 45.0, 0.0])
+        )
+    csv = tmp_path / "meca500.csv"
+    rc = main(
+        [
+            "sync", "meca500", "--base-dirs", str(img_dir), "--joint-dir", str(ang_dir),
+            "--out", str(csv),
+        ]
+    )
+    assert rc == 0 and csv.exists()
+
+    # --- calibrate intrinsics from a conf ---
+    conf = tmp_path / "SN41182735.conf"
+    conf.write_text(CONF_TEXT)
+    calib_dir = tmp_path / "calib"
+    rc = main(
+        [
+            "calibrate", "intrinsics", "--conf", str(conf), "--serial", "41182735",
+            "--view", "front", "--resolution", "FHD", "--out-dir", str(calib_dir),
+        ]
+    )
+    assert rc == 0
+    assert (calib_dir / "front_41182735_leftcam_calib.json").exists()
+
+    # --- calibrate manual extrinsic (Meca500 style) ---
+    summary = tmp_path / "aruco_summary.json"
+    rc = main(
+        [
+            "calibrate", "manual", "--view", "front", "--cam", "leftcam",
+            "--tvec", "0", "-0.01", "0.75", "--rvec-deg", "96", "98", "-45",
+            "--out", str(summary),
+        ]
+    )
+    assert rc == 0
+    rec = json.loads(summary.read_text())[0]
+    assert rec["rvec_x"] == 96.0
+
+    # --- train one tiny epoch end-to-end ---
+    workdir = tmp_path / "run"
+    rc = main(
+        [
+            "train", "--robot", "meca500", "--csv", str(csv),
+            "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+            "--workdir", str(workdir),
+            "--image-hw", "60", "80", "--model-size", "64",
+            "--hidden-size", "64", "--num-layers", "2",
+            "--batch-size", "2", "--epochs", "1", "--val-split", "0.34",
+        ]
+    )
+    assert rc == 0
+    assert (workdir / "ckpt").exists()
+    metrics = (workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()
+    rec = json.loads(metrics[-1])
+    assert np.isfinite(rec["val_loss"])
+    assert "val_pck5" in rec
+
+
+def test_cli_group(tmp_path, capsys):
+    import pandas as pd
+
+    ts = np.concatenate([np.arange(8) * 0.005 + k for k in range(4)])
+    df = pd.DataFrame(
+        {
+            "robot_timestamp": ts,
+            "image_path": [f"im{i}.jpg" for i in range(len(ts))],
+            "position_fr3_joint1": np.zeros(len(ts)),
+        }
+    )
+    csv = tmp_path / "fr3.csv"
+    df.to_csv(csv, index=False)
+    rc = main(["group", "--csv", str(csv), "--max-views", "8", "--tolerance", "0.07"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "recommended tolerance" in out
+    assert "4 groups" in out
+
+
+def test_cli_serve_synthetic(tmp_path):
+    rc = main(
+        [
+            "serve", "--views", "2", "--fps", "60", "--frame-hw", "32", "48",
+            "--model-size", "32", "--hidden-size", "64", "--num-layers", "1",
+            "--duration", "1.0",
+        ]
+    )
+    assert rc == 0
