@@ -110,6 +110,37 @@ def compute_view_pose(
     return {"rvec": mean_r, "tvec": mean_t, "n_markers": len(tvecs)}
 
 
+def solve_marker_pose_from_corners(
+    corners_px: np.ndarray,  # (4, 2) pixel corners, TL TR BR BL order
+    marker_size_m: float,
+    K: np.ndarray,
+    dist: np.ndarray | None = None,
+) -> dict:
+    """Re-solve one marker's pose from its corner pixels (reference stage 2,
+    /root/reference/dataset/Meca_insertion_preprocessing.py:210-249: solvePnP
+    + solvePnPRefineLM). Uses our planar PnP + LM refine; returns
+    {"rvec", "tvec", "reproj_error_px"}."""
+    import jax.numpy as jnp
+
+    from mvropose_tpu.geometry.pnp import solve_pnp
+    from mvropose_tpu.geometry.camera import project_points
+
+    h = marker_size_m / 2.0
+    obj = np.array(
+        [[-h, h, 0.0], [h, h, 0.0], [h, -h, 0.0], [-h, -h, 0.0]], dtype=np.float32
+    )
+    img = np.asarray(corners_px, dtype=np.float32)
+    dist_j = jnp.asarray(dist, jnp.float32) if dist is not None else None
+    rvec, tvec, _ = solve_pnp(
+        jnp.asarray(obj), jnp.asarray(img), jnp.asarray(K, jnp.float32), dist=dist_j
+    )
+    proj = np.asarray(
+        project_points(jnp.asarray(obj), rvec, tvec, jnp.asarray(K, jnp.float32), dist_j)
+    )
+    err = float(np.linalg.norm(proj - img, axis=-1).mean())
+    return {"rvec": np.asarray(rvec), "tvec": np.asarray(tvec), "reproj_error_px": err}
+
+
 def stereo_right_from_left(
     rvec_left: np.ndarray,
     tvec_left: np.ndarray,

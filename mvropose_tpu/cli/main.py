@@ -243,15 +243,25 @@ def _cmd_train(args) -> int:
         lr_kpt=args.lr_kpt, lr_ang=args.lr_ang,
         loss_weight_kpt=args.loss_weight_kpt,
     )
-    pre = make_device_preprocessor(
-        ds.geometry, args.model_size, rig.heatmap_size, rig.sigma, out_dtype="float32"
-    )
+    from mvropose_tpu.data.augment import AugmentConfig
 
-    def to_device(batch):
+    aug_cfg = None if args.no_augment else AugmentConfig()
+    pre = make_device_preprocessor(
+        ds.geometry, args.model_size, rig.heatmap_size, rig.sigma,
+        out_dtype="float32", augment_cfg=aug_cfg,
+    )
+    aug_rng = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
+
+    def to_device(batch, augment=False):
+        nonlocal aug_rng
+        rng = None
+        if augment and aug_cfg is not None:
+            aug_rng, rng = jax.random.split(aug_rng)
         imgs, hms = pre(
             jnp.asarray(batch["images_u8"]),
             jnp.asarray(batch["cam_idx"]),
             jnp.asarray(batch["keypoints_2d"]),
+            rng,
         )
         out = {"images": imgs, "heatmaps": hms, "angles": jnp.asarray(batch["angles"])}
         if multi_view:
@@ -263,7 +273,7 @@ def _cmd_train(args) -> int:
 
     def train_batches(epoch):
         for b in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
-            yield to_device(b)
+            yield to_device(b, augment=True)
 
     def val_batches():
         for b in val_ds.batches(args.batch_size):
@@ -433,6 +443,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--sigma", type=float, default=5.0)
     pt.add_argument("--tolerance", type=float, default=0.07)
     pt.add_argument("--single-view", action="store_true")
+    pt.add_argument("--no-augment", action="store_true")
+    pt.add_argument("--seed", type=int, default=0)
     pt.set_defaults(fn=_cmd_train)
 
     pv = sub.add_parser("serve", help="realtime streaming rig inference")

@@ -116,7 +116,7 @@ class _RigGeometry:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_size", "heatmap_size", "out_dtype"),
+    static_argnames=("model_size", "heatmap_size", "out_dtype", "augment_cfg"),
 )
 def _device_preprocess(
     images_u8: jnp.ndarray,  # (B, H, W, 3) uint8 raw
@@ -127,17 +127,24 @@ def _device_preprocess(
     model_size: int,
     heatmap_size: tuple[int, int],
     out_dtype: str = "float32",
+    augment_cfg=None,
+    rng: jax.Array | None = None,
 ):
-    """undistort -> resize -> normalize + GT heatmap render, fully on device."""
+    """undistort -> resize -> [augment] -> normalize + GT heatmap render,
+    fully on device."""
     B, H, W, _ = images_u8.shape
 
     def per_image(img, ci):
         f = img.astype(jnp.float32) / 255.0
         und = remap_bilinear(f, remaps[ci])
-        resized = jax.image.resize(und, (model_size, model_size, 3), method="bilinear")
-        return (resized - IMAGENET_MEAN) / IMAGENET_STD
+        return jax.image.resize(und, (model_size, model_size, 3), method="bilinear")
 
-    out = jax.vmap(per_image)(images_u8, cam_idx).astype(jnp.dtype(out_dtype))
+    out = jax.vmap(per_image)(images_u8, cam_idx)
+    if augment_cfg is not None and rng is not None:
+        from mvropose_tpu.data.augment import augment_batch
+
+        out = augment_batch(rng, out, augment_cfg)
+    out = ((out - IMAGENET_MEAN) / IMAGENET_STD).astype(jnp.dtype(out_dtype))
 
     Hm, Wm = heatmap_size
     scale = jnp.asarray([Wm / W, Hm / H], jnp.float32)
@@ -152,20 +159,24 @@ def make_device_preprocessor(
     heatmap_size: tuple[int, int],
     sigma: float,
     out_dtype: str = "float32",
+    augment_cfg=None,
 ):
-    """Bind static tables; returns f(images_u8, cam_idx, keypoints_2d) ->
-    (model_images, gt_heatmaps). Works on (B, ...) and (B, V, ...) inputs
-    (the view axis folds into batch)."""
+    """Bind static tables; returns f(images_u8, cam_idx, keypoints_2d,
+    rng=None) -> (model_images, gt_heatmaps). Works on (B, ...) and
+    (B, V, ...) inputs (the view axis folds into batch). Augmentation (the
+    kornia-style GPU batch aug of the reference) runs only when both
+    augment_cfg and rng are given."""
     remaps = jnp.asarray(geometry.remaps)
 
-    def preprocess(images_u8, cam_idx, keypoints_2d):
+    def preprocess(images_u8, cam_idx, keypoints_2d, rng=None):
         lead = images_u8.shape[:-3]
         Bflat = int(np.prod(lead))
         imgs = images_u8.reshape(Bflat, *images_u8.shape[-3:])
         cidx = cam_idx.reshape(Bflat)
         kps = keypoints_2d.reshape(Bflat, *keypoints_2d.shape[-2:])
         out, hms = _device_preprocess(
-            imgs, cidx, kps, remaps, sigma, model_size, heatmap_size, out_dtype
+            imgs, cidx, kps, remaps, sigma, model_size, heatmap_size, out_dtype,
+            augment_cfg if rng is not None else None, rng,
         )
         out = out.reshape(*lead, model_size, model_size, 3)
         hms = hms.reshape(*lead, *hms.shape[-3:])

@@ -200,3 +200,21 @@ def test_load_rig_units(tmp_path):
     # Static view index table is deterministic.
     assert rig.view_index("30779426", "leftcam") == 0
     assert rig.view_index("30779426", "rightcam") == 1
+
+
+def test_solve_marker_pose_from_corners():
+    """Stage-2 marker re-solve recovers a synthetic marker pose."""
+    import cv2
+
+    from mvropose_tpu.calib.aruco import solve_marker_pose_from_corners
+
+    K = np.array([[700.0, 0, 640], [0, 700.0, 360], [0, 0, 1]])
+    size = 0.05
+    h = size / 2
+    obj = np.array([[-h, h, 0], [h, h, 0], [h, -h, 0], [-h, -h, 0]])
+    rvec_gt = np.array([0.3, -0.2, 0.1])
+    tvec_gt = np.array([0.05, -0.02, 0.6])
+    corners, _ = cv2.projectPoints(obj, rvec_gt, tvec_gt, K, np.zeros(5))
+    out = solve_marker_pose_from_corners(corners.reshape(4, 2), size, K)
+    assert out["reproj_error_px"] < 0.5
+    np.testing.assert_allclose(out["tvec"], tvec_gt, atol=2e-3)

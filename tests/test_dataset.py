@@ -160,3 +160,31 @@ def test_multi_view_batches(tmp_path, rig):
     # view_ids come from the static serial table, not discovery order.
     assert batch["view_ids"][0, 0] == rig.view_index("41182735", "leftcam")
     assert batch["view_ids"][0, 1] == rig.view_index("41182735", "rightcam")
+
+
+def test_device_preprocessor_with_augmentation(tmp_path, rig):
+    """Augmented preprocessing differs from clean but keeps GT heatmaps."""
+    import jax
+
+    from mvropose_tpu.data.augment import AugmentConfig
+
+    p = tmp_path / "zed_41182735_left_4000.0.jpg"
+    _write_img(p, 3)
+    s = SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=np.array([0.0, -30, 30, 0, 0, 0], np.float32),
+    )
+    ds = SingleViewDataset([s], rig, (H, W))
+    batch = next(ds.batches(batch_size=1))
+    pre = make_device_preprocessor(
+        ds.geometry, 64, (32, 32), 2.0, augment_cfg=AugmentConfig()
+    )
+    args = (
+        jnp.asarray(batch["images_u8"]),
+        jnp.asarray(batch["cam_idx"]),
+        jnp.asarray(batch["keypoints_2d"]),
+    )
+    clean, hm_clean = pre(*args)
+    aug, hm_aug = pre(*args, jax.random.PRNGKey(0))
+    assert float(jnp.abs(aug - clean).max()) > 1e-3  # image changed
+    np.testing.assert_array_equal(np.asarray(hm_clean), np.asarray(hm_aug))  # GT unchanged
