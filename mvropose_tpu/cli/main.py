@@ -300,6 +300,99 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _cmd_eval(args) -> int:
+    """Evaluate a trained model: PCK@k px, angle MAE, and FK-space ADD."""
+    import pandas as pd
+    import jax
+    import jax.numpy as jnp
+
+    from mvropose_tpu.data import builders
+    from mvropose_tpu.data.dataset import make_device_preprocessor
+    from mvropose_tpu.models import (
+        EstimatorConfig,
+        MultiViewPoseEstimator,
+        SingleViewPoseEstimator,
+    )
+    from mvropose_tpu.models.vit import ViTConfig
+    from mvropose_tpu.train.checkpoint import load_params_npz
+    from mvropose_tpu.train.metrics import pck_at_k, add_metric, angle_mae
+    from mvropose_tpu.geometry.heatmap import argmax_decode
+    from mvropose_tpu.geometry.robots import forward_kinematics_batch
+
+    rig = _load_rig_from_args(args)
+    df = pd.concat([pd.read_csv(c) for c in args.csv], ignore_index=True)
+    image_hw = tuple(args.image_hw)
+    multi_view = args.robot == "fr3" and not args.single_view
+    if args.robot == "dream":
+        ds = builders.build_dream_single_view(df, rig, image_hw)
+    elif args.robot == "fr5":
+        ds = builders.build_fr5_single_view(df, rig, image_hw)
+    elif args.robot == "meca500":
+        ds = builders.build_meca500_single_view(df, rig, image_hw)
+    else:
+        ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
+
+    vit = ViTConfig(
+        image_size=args.model_size, patch_size=16, hidden_size=args.hidden_size,
+        num_layers=args.num_layers, num_heads=args.hidden_size // 64, dtype="bfloat16",
+    )
+    cfg = EstimatorConfig(
+        vit=vit, num_joints=rig.robot.n_keypoints, num_angles=rig.robot.n_joints,
+        heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
+    )
+    model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
+    pre = make_device_preprocessor(ds.geometry, args.model_size, rig.heatmap_size, rig.sigma)
+
+    first = next(iter(ds.batches(1)))
+    imgs, hms = pre(
+        jnp.asarray(first["images_u8"]), jnp.asarray(first["cam_idx"]),
+        jnp.asarray(first["keypoints_2d"]),
+    )
+    if multi_view:
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, imgs, jnp.asarray(first["view_ids"]), jnp.asarray(first["view_mask"])),
+            jax.random.PRNGKey(0),
+        )
+    else:
+        shapes = jax.eval_shape(lambda k: model.init(k, imgs), jax.random.PRNGKey(0))
+    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    variables = dict(variables)
+    variables["params"] = load_params_npz(args.params, variables["params"])
+
+    pcks, maes, adds, n = [], [], [], 0
+    for batch in ds.batches(args.batch_size):
+        imgs, gt_hms = pre(
+            jnp.asarray(batch["images_u8"]), jnp.asarray(batch["cam_idx"]),
+            jnp.asarray(batch["keypoints_2d"]),
+        )
+        if multi_view:
+            pred_hm, pred_ang = model.apply(
+                variables, imgs, jnp.asarray(batch["view_ids"]), jnp.asarray(batch["view_mask"])
+            )
+            valid = jnp.asarray(batch["view_mask"])[..., None]
+        else:
+            pred_hm, pred_ang = model.apply(variables, imgs)
+            valid = jnp.asarray(batch["sample_weight"])[..., None]
+        pred_xy, _ = argmax_decode(pred_hm)
+        gt_xy, _ = argmax_decode(gt_hms)
+        pcks.append(float(pck_at_k(pred_xy, gt_xy, k_px=args.pck_px, valid=valid)))
+        gt_ang = jnp.asarray(batch["angles"])
+        maes.append(float(angle_mae(pred_ang, gt_ang)))
+        # ADD in FK space: distance between predicted- and GT-angle skeletons.
+        fk_pred = forward_kinematics_batch(rig.robot, pred_ang)
+        fk_gt = forward_kinematics_batch(rig.robot, gt_ang)
+        adds.append(float(add_metric(fk_pred, fk_gt)))
+        n += int(np.sum(batch.get("sample_weight", np.ones(1))))
+    report = {
+        f"pck@{args.pck_px}px": float(np.mean(pcks)),
+        "angle_mae": float(np.mean(maes)),
+        "add_m": float(np.mean(adds)),
+        "samples": n,
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def _cmd_serve(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -446,6 +539,23 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--no-augment", action="store_true")
     pt.add_argument("--seed", type=int, default=0)
     pt.set_defaults(fn=_cmd_train)
+
+    pe = sub.add_parser("eval", help="evaluate a trained model (PCK/ADD/MAE)")
+    pe.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500"], required=True)
+    pe.add_argument("--csv", nargs="+", required=True)
+    pe.add_argument("--params", required=True, help="best_params.npz")
+    pe.add_argument("--calib-dir", default=None)
+    pe.add_argument("--aruco-summary", nargs="*", default=None)
+    pe.add_argument("--image-hw", type=int, nargs=2, default=[1080, 1920])
+    pe.add_argument("--model-size", type=int, default=224)
+    pe.add_argument("--hidden-size", type=int, default=768)
+    pe.add_argument("--num-layers", type=int, default=12)
+    pe.add_argument("--batch-size", type=int, default=16)
+    pe.add_argument("--sigma", type=float, default=5.0)
+    pe.add_argument("--tolerance", type=float, default=0.07)
+    pe.add_argument("--pck-px", type=float, default=5.0)
+    pe.add_argument("--single-view", action="store_true")
+    pe.set_defaults(fn=_cmd_eval)
 
     pv = sub.add_parser("serve", help="realtime streaming rig inference")
     pv.add_argument("--replay-dir", default=None)
