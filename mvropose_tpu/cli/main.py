@@ -221,6 +221,8 @@ def _cmd_train(args) -> int:
         ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
     else:
         raise SystemExit(f"no builder for robot {args.robot}")
+    if args.fk_loss_weight > 0 and hasattr(ds, "with_extrinsics"):
+        ds.with_extrinsics = True
     train_ds, val_ds = builders.train_val_split(ds, args.val_split)
     print(f"dataset: {len(train_ds)} train / {len(val_ds)} val")
 
@@ -242,6 +244,7 @@ def _cmd_train(args) -> int:
         steps_per_epoch=max(1, len(train_ds) // args.batch_size),
         lr_kpt=args.lr_kpt, lr_ang=args.lr_ang,
         loss_weight_kpt=args.loss_weight_kpt,
+        loss_weight_fk=args.fk_loss_weight,
     )
     from mvropose_tpu.data.augment import AugmentConfig
 
@@ -269,6 +272,11 @@ def _cmd_train(args) -> int:
             out["view_mask"] = jnp.asarray(batch["view_mask"])
         else:
             out["sample_weight"] = jnp.asarray(batch["sample_weight"])
+            for k in ("rvec", "tvec", "K", "base_rotation"):
+                if k in batch:
+                    out[k] = jnp.asarray(batch[k])
+            if args.fk_loss_weight > 0:
+                out["keypoints_2d"] = jnp.asarray(batch["keypoints_2d"])
         return out
 
     def train_batches(epoch):
@@ -288,7 +296,7 @@ def _cmd_train(args) -> int:
         step = make_multi_view_train_step(tcfg, mesh)
     else:
         variables = model.init(jax.random.PRNGKey(0), first["images"])
-        step = make_single_view_train_step(tcfg, mesh)
+        step = make_single_view_train_step(tcfg, mesh, robot=rig.robot)
     state = create_train_state(model, variables, tcfg)
     eval_step = make_eval_step(tcfg, multi_view, mesh)
 
@@ -537,6 +545,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--tolerance", type=float, default=0.07)
     pt.add_argument("--single-view", action="store_true")
     pt.add_argument("--no-augment", action="store_true")
+    pt.add_argument("--fk-loss-weight", type=float, default=0.0)
     pt.add_argument("--seed", type=int, default=0)
     pt.set_defaults(fn=_cmd_train)
 

@@ -186,7 +186,11 @@ def make_device_preprocessor(
 
 
 class SingleViewDataset:
-    """Synced rows -> fixed-shape host batches (images still uint8 raw)."""
+    """Synced rows -> fixed-shape host batches (images still uint8 raw).
+
+    with_extrinsics=True adds per-sample (rvec, tvec, K, base_rotation)
+    fields to every batch - the inputs of the differentiable FK-consistency
+    loss (train/losses.py)."""
 
     def __init__(
         self,
@@ -194,10 +198,12 @@ class SingleViewDataset:
         rig: RigSpec,
         image_hw: tuple[int, int],
         extr_key_fn=None,  # sample -> extrinsic key (multi-pose rigs)
+        with_extrinsics: bool = False,
     ):
         self.samples = list(samples)
         self.geometry = _RigGeometry(rig, image_hw)
         self.extr_key_fn = extr_key_fn
+        self.with_extrinsics = with_extrinsics
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -223,6 +229,12 @@ class SingleViewDataset:
             angles = np.zeros((B, A), np.float32)
             kpts = np.zeros((B, J, 2), np.float32)
             weight = np.zeros((B,), np.float32)
+            if self.with_extrinsics:
+                rvecs = np.zeros((B, 3), np.float32)
+                tvecs = np.zeros((B, 3), np.float32)
+                tvecs[:, 2] = 1.0  # harmless default for padded slots
+                Ks = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+                base_rots = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
             for slot, i in enumerate(idxs):
                 s = self.samples[i]
                 img = _load_image_rgb(s.image_path)
@@ -234,13 +246,23 @@ class SingleViewDataset:
                 angles[slot] = s.angles
                 kpts[slot] = self.geometry.gt_keypoints(s, ek)
                 weight[slot] = 1.0
-            yield {
+                if self.with_extrinsics:
+                    extr = rig.extrinsics.get(ek or s.camera_key)
+                    if extr is not None:
+                        rvecs[slot] = extr.rvec
+                        tvecs[slot] = extr.tvec
+                    Ks[slot] = rig.calibs[s.camera_key].camera_matrix
+                    base_rots[slot] = rig.robot.base_rotation(s.view)
+            batch = {
                 "images_u8": images,
                 "cam_idx": cam_idx,
                 "angles": angles,
                 "keypoints_2d": kpts,
                 "sample_weight": weight,
             }
+            if self.with_extrinsics:
+                batch.update(rvec=rvecs, tvec=tvecs, K=Ks, base_rotation=base_rots)
+            yield batch
 
 
 class MultiViewDataset:

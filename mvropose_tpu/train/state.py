@@ -34,6 +34,11 @@ class TrainConfig:
     lr_ang: float = 1e-4
     eta_min: float = 1e-6
     loss_weight_kpt: float = 100.0
+    # FK-consistency term weight (0 disables). When on, the single-view step
+    # projects FK(pred angles) through each sample's extrinsics and penalizes
+    # distance to the GT 2D keypoints - the differentiable closure the
+    # reference only prototyped (MV-model.ipynb cell 6 robot_pose_loss).
+    loss_weight_fk: float = 0.0
     angle_beta: float = 1.0
     weight_decay: float = 0.0  # torch AdamW default is 0.01; reference used default
     freeze_backbone: bool = True

@@ -56,12 +56,17 @@ def _shard_multiview_batch(mesh: Mesh, batch):
     return _shard_over_data(mesh, out)
 
 
-def make_single_view_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
+def make_single_view_train_step(
+    cfg: TrainConfig, mesh: Mesh | None = None, robot=None
+) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict(images (B, H, W, 3), heatmaps (B, J, Hm, Wm), angles (B, A)),
     optionally sample_weight (B,) to mask padded/invalid samples (the
-    reference dropped them in collate; we keep shapes static).
+    reference dropped them in collate; we keep shapes static). With
+    cfg.loss_weight_fk > 0, `robot` (a RobotSpec) plus batch fields
+    keypoints_2d / rvec / tvec / K / base_rotation enable the differentiable
+    FK-consistency term.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -89,13 +94,37 @@ def make_single_view_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> C
                 )
                 loss_ang = jnp.sum(jnp.mean(hub, axis=-1) * wf) / (jnp.sum(wf) + 1e-8)
             total = loss_kpt * cfg.loss_weight_kpt + loss_ang
-            return total, (loss_kpt, loss_ang, mutated)
+
+            loss_fk = jnp.zeros(())
+            if cfg.loss_weight_fk > 0.0 and robot is not None and "rvec" in batch:
+                from mvropose_tpu.geometry.camera import project_points
+                from mvropose_tpu.geometry.robots import forward_kinematics
+
+                def fk_proj(ang, base, rv, tv, Kmat):
+                    pts = forward_kinematics(robot, ang, base)
+                    return project_points(pts, rv, tv, Kmat, None)
+
+                proj = jax.vmap(fk_proj)(
+                    pred_ang, batch["base_rotation"], batch["rvec"],
+                    batch["tvec"], batch["K"],
+                )
+                per = jnp.mean((proj - batch["keypoints_2d"]) ** 2, axis=(1, 2))
+                wf = batch.get("sample_weight")
+                if wf is None:
+                    loss_fk = jnp.mean(per)
+                else:
+                    wf = wf.astype(jnp.float32)
+                    loss_fk = jnp.sum(per * wf) / (jnp.sum(wf) + 1e-8)
+                total = total + cfg.loss_weight_fk * loss_fk
+            return total, (loss_kpt, loss_ang, loss_fk, mutated)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, (loss_kpt, loss_ang, mutated)), grads = grad_fn(state.params)
+        (total, (loss_kpt, loss_ang, loss_fk, mutated)), grads = grad_fn(state.params)
         state = state.apply_gradients(grads)
         state = state.replace(batch_stats=mutated["batch_stats"])
-        return state, {"loss": total, "loss_kpt": loss_kpt, "loss_ang": loss_ang}
+        return state, {
+            "loss": total, "loss_kpt": loss_kpt, "loss_ang": loss_ang, "loss_fk": loss_fk,
+        }
 
     return train_step
 

@@ -154,3 +154,50 @@ def test_eval_step_and_metrics(rng):
     assert pck == 1.0
     add = float(add_metric(jnp.zeros((2, 4, 3)), jnp.ones((2, 4, 3))))
     assert abs(add - np.sqrt(3)) < 1e-5
+
+
+def test_fk_consistency_loss_trains(rng):
+    """FK-consistency: projected FK(pred angles) pulled toward GT 2D points.
+
+    With kpt/ang losses off-weighted, the FK term alone must reduce."""
+    from mvropose_tpu.geometry.robots import MECA500, forward_kinematics_batch
+    from mvropose_tpu.geometry.camera import project_points
+
+    import dataclasses
+
+    cfg_est = dataclasses.replace(TINY, num_angles=6)
+    model = SingleViewPoseEstimator(cfg_est)
+    B = 4
+    gt_angles = rng.uniform(-30, 30, size=(B, 6)).astype(np.float32)
+    rvec = np.tile(np.array([np.pi, 0, 0], np.float32), (B, 1))
+    tvec = np.tile(np.array([0.0, 0.1, 0.8], np.float32), (B, 1))
+    K = np.tile(np.array([[70.0, 0, 40], [0, 70.0, 30], [0, 0, 1]], np.float32), (B, 1, 1))
+    base = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    pts = forward_kinematics_batch(MECA500, jnp.asarray(gt_angles))
+    kps = jax.vmap(lambda p, r, t, k: project_points(p, r, t, k, None))(
+        pts, jnp.asarray(rvec), jnp.asarray(tvec), jnp.asarray(K)
+    )
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "heatmaps": render_heatmaps(jnp.asarray(rng.uniform(4, 28, size=(B, 4, 2)).astype(np.float32)), 32, 32, sigma=2.0),
+        "angles": jnp.asarray(gt_angles),
+        "keypoints_2d": jnp.asarray(np.asarray(kps)),
+        "rvec": jnp.asarray(rvec),
+        "tvec": jnp.asarray(tvec),
+        "K": jnp.asarray(K),
+        "base_rotation": jnp.asarray(base),
+        "sample_weight": jnp.ones((B,)),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig(
+        num_epochs=1, steps_per_epoch=40, lr_kpt=1e-8, lr_ang=2e-3,
+        loss_weight_kpt=0.0, loss_weight_fk=1e-3,
+    )
+    state = create_train_state(model, variables, cfg)
+    step = make_single_view_train_step(cfg, robot=MECA500)
+    fks = []
+    for i in range(25):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        fks.append(float(m["loss_fk"]))
+    assert np.isfinite(fks).all()
+    assert fks[-1] < fks[0] * 0.9, fks[::8]
