@@ -105,6 +105,35 @@ def build_dream_single_view(
     return SingleViewDataset(samples, rig, image_hw)
 
 
+def build_fr5_roi_single_view(
+    df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (512, 512)
+) -> SingleViewDataset:
+    """Fr5 ROI variant: rows carry precomputed robot bounding boxes
+    (roi.x1..roi.y2 columns, the reference's matched_index_with_roi.csv);
+    samples crop to the ROI and stretch to image_hw."""
+    samples = []
+    n = rig.robot.n_joints
+    for _, row in df.iterrows():
+        svc = _serial_view_from_path(row["image_path"], rig)
+        if svc is None:
+            continue
+        serial, cam, view = svc
+        ckey = f"{view}_{cam}"
+        if ckey not in rig.calibs or ckey not in rig.extrinsics:
+            continue
+        roi = tuple(int(row[f"roi.{k}"]) for k in ("x1", "y1", "x2", "y2"))
+        samples.append(
+            SingleViewSample(
+                image_path=row["image_path"],
+                camera_key=ckey,
+                view=view,
+                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
+                roi=roi,
+            )
+        )
+    return SingleViewDataset(samples, rig, image_hw)
+
+
 def build_fr3_multi_view(
     df: pd.DataFrame,
     rig: RigSpec,

@@ -48,6 +48,13 @@ class SingleViewSample:
     view: str
     angles: np.ndarray  # (A,) native units
     keypoints_2d: np.ndarray | None = None  # (J, 2) raw-image px (DREAM-style)
+    # Optional robot ROI (x1, y1, x2, y2) in raw-image px: the sample is
+    # cropped to this box and stretch-resized to the dataset image_hw, with
+    # GT keypoints transformed to match (the reference's precomputed
+    # matched_index_with_roi.csv workflow, dataset/Fr5/*/matched_index*.csv).
+    # ROI samples should reference pre-undistorted images (or near-zero
+    # distortion): the crop happens before the device undistortion remap.
+    roi: tuple[int, int, int, int] | None = None
 
 
 def _load_image_rgb(path: str) -> np.ndarray | None:
@@ -238,13 +245,26 @@ class SingleViewDataset:
             for slot, i in enumerate(idxs):
                 s = self.samples[i]
                 img = _load_image_rgb(s.image_path)
-                if img is None or img.shape[:2] != (H, W):
+                if img is None:
                     continue  # weight stays 0 (reference: None-filter collate)
                 ek = self.extr_key_fn(s) if self.extr_key_fn else None
+                kp = self.geometry.gt_keypoints(s, ek)
+                if s.roi is not None:
+                    import cv2
+
+                    x1, y1, x2, y2 = s.roi
+                    if x2 <= x1 or y2 <= y1:
+                        continue
+                    img = cv2.resize(img[y1:y2, x1:x2], (W, H))
+                    kp = (kp - np.array([x1, y1], np.float32)) * np.array(
+                        [W / (x2 - x1), H / (y2 - y1)], np.float32
+                    )
+                if img.shape[:2] != (H, W):
+                    continue
                 images[slot] = img
                 cam_idx[slot] = self.geometry.key_to_idx[s.camera_key]
                 angles[slot] = s.angles
-                kpts[slot] = self.geometry.gt_keypoints(s, ek)
+                kpts[slot] = kp
                 weight[slot] = 1.0
                 if self.with_extrinsics:
                     extr = rig.extrinsics.get(ek or s.camera_key)

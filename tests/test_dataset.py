@@ -188,3 +188,38 @@ def test_device_preprocessor_with_augmentation(tmp_path, rig):
     aug, hm_aug = pre(*args, jax.random.PRNGKey(0))
     assert float(jnp.abs(aug - clean).max()) > 1e-3  # image changed
     np.testing.assert_array_equal(np.asarray(hm_clean), np.asarray(hm_aug))  # GT unchanged
+
+
+def test_roi_crop_transforms_keypoints(tmp_path, rig):
+    """ROI crop: keypoints land at the same relative location post-crop."""
+    p = tmp_path / "zed_41182735_left_5000.0.jpg"
+    _write_img(p, 5)
+    base = SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=np.array([0.0, -30, 30, 0, 0, 0], np.float32),
+    )
+    geo = _RigGeometry(rig, (H, W))
+    kp_full = geo.gt_keypoints(base)
+
+    roi = (10, 5, 70, 55)  # x1, y1, x2, y2
+    s = SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=base.angles, roi=roi,
+    )
+    ds = SingleViewDataset([s], rig, (H, W))
+    batch = next(ds.batches(batch_size=1))
+    assert batch["sample_weight"][0] == 1.0
+    expect = (kp_full - [10, 5]) * [W / 60, H / 50]
+    np.testing.assert_allclose(batch["keypoints_2d"][0], expect, atol=1e-4)
+
+
+def test_roi_degenerate_box_skipped(tmp_path, rig):
+    p = tmp_path / "zed_41182735_left_5001.0.jpg"
+    _write_img(p)
+    s = SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=np.zeros(6, np.float32), roi=(50, 40, 50, 40),
+    )
+    ds = SingleViewDataset([s], rig, (H, W))
+    batch = next(ds.batches(batch_size=1))
+    assert batch["sample_weight"][0] == 0.0
