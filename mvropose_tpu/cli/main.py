@@ -217,6 +217,8 @@ def _cmd_train(args) -> int:
         ds = builders.build_fr5_single_view(df, rig, image_hw)
     elif args.robot == "meca500":
         ds = builders.build_meca500_single_view(df, rig, image_hw)
+    elif args.robot == "meca_insertion":
+        ds = builders.build_meca_insertion_single_view(df, rig, image_hw)
     elif multi_view:
         ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
     else:
@@ -337,6 +339,8 @@ def _cmd_eval(args) -> int:
         ds = builders.build_fr5_single_view(df, rig, image_hw)
     elif args.robot == "meca500":
         ds = builders.build_meca500_single_view(df, rig, image_hw)
+    elif args.robot == "meca_insertion":
+        ds = builders.build_meca_insertion_single_view(df, rig, image_hw)
     else:
         ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
 
@@ -482,6 +486,98 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_visualize(args) -> int:
+    """GT sanity panels: FK + projection skeleton overlays on real images
+    (the reference's visualization notebooks as a command)."""
+    import pandas as pd
+
+    from mvropose_tpu.data import builders
+    from mvropose_tpu.rig.viewer import draw_keypoints_overlay
+    from mvropose_tpu.data.dataset import _load_image_rgb
+
+    rig = _load_rig_from_args(args)
+    df = pd.concat([pd.read_csv(c) for c in args.csv], ignore_index=True)
+    image_hw = tuple(args.image_hw)
+    if args.robot == "fr5":
+        ds = builders.build_fr5_single_view(df, rig, image_hw)
+    elif args.robot == "meca500":
+        ds = builders.build_meca500_single_view(df, rig, image_hw)
+    elif args.robot == "meca_insertion":
+        ds = builders.build_meca_insertion_single_view(df, rig, image_hw)
+    elif args.robot == "dream":
+        ds = builders.build_dream_single_view(df, rig, image_hw)
+    else:
+        raise SystemExit("visualize supports single-view robots")
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    idxs = rng.choice(len(ds.samples), size=min(args.num_samples, len(ds.samples)), replace=False)
+    import cv2
+
+    written = 0
+    for i in idxs:
+        s = ds.samples[int(i)]
+        img = _load_image_rgb(s.image_path)
+        if img is None:
+            continue
+        kps = ds.geometry.gt_keypoints(s)
+        panel = draw_keypoints_overlay(img, kps, rig.robot.links)
+        out = out_dir / f"gt_overlay_{Path(s.image_path).stem}.png"
+        cv2.imwrite(str(out), panel[:, :, ::-1])
+        written += 1
+    print(f"wrote {written} GT overlay panels to {out_dir}")
+    return 0
+
+
+def _cmd_profile(args) -> int:
+    """Per-stage pipeline timing (the reference's manual profiler,
+    MV-model.ipynb cell 4, as a command): backbone / full forward / decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvropose_tpu.decode import decode_keypoints
+    from mvropose_tpu.models import EstimatorConfig, MultiViewPoseEstimator
+    from mvropose_tpu.models.vit import ViTBackbone, ViTConfig
+    from mvropose_tpu.utils.timing import StageTimer
+
+    vit = ViTConfig(
+        image_size=args.model_size, patch_size=16, hidden_size=args.hidden_size,
+        num_layers=args.num_layers, num_heads=args.hidden_size // 64, dtype="bfloat16",
+    )
+    cfg = EstimatorConfig(vit=vit, num_joints=8, num_angles=7, max_views=args.views)
+    B, V, S = 1, args.views, args.model_size
+    images = jax.random.normal(jax.random.PRNGKey(0), (B, V, S, S, 3), jnp.float32)
+    vids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
+    mask = jnp.ones((B, V), bool)
+
+    bb = ViTBackbone(vit)
+    flat = images.reshape(B * V, S, S, 3)
+    bshapes = jax.eval_shape(lambda k: bb.init(k, flat), jax.random.PRNGKey(0))
+    bparams = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), bshapes)
+    bb_fn = jax.jit(lambda x: bb.apply(bparams, x)["patch_tokens"])
+
+    model = MultiViewPoseEstimator(cfg)
+    shapes = jax.eval_shape(lambda k: model.init(k, images, vids, mask), jax.random.PRNGKey(0))
+    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    fwd = jax.jit(lambda im: model.apply(variables, im, vids, mask))
+    dec = jax.jit(
+        lambda h: decode_keypoints(h, image_hw=(720, 1280), use_pallas=jax.default_backend() == "tpu")
+    )
+
+    timer = StageTimer()
+    hm, _ = fwd(images)  # warmup/compile
+    jax.block_until_ready(bb_fn(flat))
+    jax.block_until_ready(dec(hm))
+    for _ in range(args.iters):
+        timer.timed("backbone", bb_fn, flat)
+        hm, _ = timer.timed("full_forward", fwd, images)
+        timer.timed("decode", dec, hm)
+    print(timer.summary())
+    full = timer.report()["full_forward"]["mean_s"]
+    print(f"\nestimated frame-sets/s (forward+decode): {1.0 / (full + timer.report()['decode']['mean_s']):.2f}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mvropose_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -526,7 +622,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc.set_defaults(fn=_cmd_calibrate)
 
     pt = sub.add_parser("train", help="train an estimator")
-    pt.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500"], required=True)
+    pt.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"], required=True)
     pt.add_argument("--csv", nargs="+", required=True)
     pt.add_argument("--calib-dir", default=None)
     pt.add_argument("--aruco-summary", nargs="*", default=None)
@@ -550,7 +646,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.set_defaults(fn=_cmd_train)
 
     pe = sub.add_parser("eval", help="evaluate a trained model (PCK/ADD/MAE)")
-    pe.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500"], required=True)
+    pe.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"], required=True)
     pe.add_argument("--csv", nargs="+", required=True)
     pe.add_argument("--params", required=True, help="best_params.npz")
     pe.add_argument("--calib-dir", default=None)
@@ -565,6 +661,26 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--pck-px", type=float, default=5.0)
     pe.add_argument("--single-view", action="store_true")
     pe.set_defaults(fn=_cmd_eval)
+
+    pz = sub.add_parser("visualize", help="GT skeleton overlay panels (pipeline sanity check)")
+    pz.add_argument("--robot", choices=["fr5", "dream", "meca500", "meca_insertion"], required=True)
+    pz.add_argument("--csv", nargs="+", required=True)
+    pz.add_argument("--calib-dir", default=None)
+    pz.add_argument("--aruco-summary", nargs="*", default=None)
+    pz.add_argument("--image-hw", type=int, nargs=2, default=[1080, 1920])
+    pz.add_argument("--out-dir", required=True)
+    pz.add_argument("--num-samples", type=int, default=6)
+    pz.add_argument("--sigma", type=float, default=5.0)
+    pz.add_argument("--seed", type=int, default=0)
+    pz.set_defaults(fn=_cmd_visualize)
+
+    pp = sub.add_parser("profile", help="per-stage pipeline timing")
+    pp.add_argument("--views", type=int, default=4)
+    pp.add_argument("--model-size", type=int, default=512)
+    pp.add_argument("--hidden-size", type=int, default=768)
+    pp.add_argument("--num-layers", type=int, default=12)
+    pp.add_argument("--iters", type=int, default=20)
+    pp.set_defaults(fn=_cmd_profile)
 
     pv = sub.add_parser("serve", help="realtime streaming rig inference")
     pv.add_argument("--replay-dir", default=None)

@@ -105,6 +105,32 @@ def build_dream_single_view(
     return SingleViewDataset(samples, rig, image_hw)
 
 
+def build_meca_insertion_single_view(
+    df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (1200, 1920)
+) -> SingleViewDataset:
+    """Meca insertion rig: zed-serial filenames over 4 views x 2 cams,
+    Meca500 kinematics, joints in degrees from robot_data.txt rows."""
+    samples = []
+    n = rig.robot.n_joints
+    for _, row in df.iterrows():
+        svc = _serial_view_from_path(row["image_path"], rig)
+        if svc is None:
+            continue
+        serial, cam, view = svc
+        ckey = f"{view}_{cam}"
+        if ckey not in rig.calibs or ckey not in rig.extrinsics:
+            continue
+        samples.append(
+            SingleViewSample(
+                image_path=row["image_path"],
+                camera_key=ckey,
+                view=view,
+                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
+            )
+        )
+    return SingleViewDataset(samples, rig, image_hw)
+
+
 def build_fr5_roi_single_view(
     df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (512, 512)
 ) -> SingleViewDataset:

@@ -81,6 +81,36 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+class FusedMHA(nn.Module):
+    """Self-attention with the Pallas flash kernel on TPU.
+
+    Parameter tree is identical to flax nn.MultiHeadDotProductAttention
+    (query/key/value DenseGeneral (D, H, dh) + out (H, dh, D)), so converted
+    DINO checkpoints plug in unchanged; only the score computation differs
+    (tiled online softmax instead of a materialized (B, H, T, T) matrix).
+    """
+
+    num_heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        from mvropose_tpu.ops.attention import fused_self_attention
+
+        D = x.shape[-1]
+        head_dim = D // self.num_heads
+        proj = lambda name: nn.DenseGeneral(
+            features=(self.num_heads, head_dim), axis=-1, dtype=self.dtype, name=name
+        )
+        q = proj("query")(x)
+        k = proj("key")(x)
+        v = proj("value")(x)
+        out = fused_self_attention(q, k, v)
+        return nn.DenseGeneral(
+            features=D, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(out)
+
+
 class Block(nn.Module):
     cfg: ViTConfig
 
@@ -89,9 +119,7 @@ class Block(nn.Module):
         c = self.cfg
         dt = c.compute_dtype
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(dt)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=c.num_heads, dtype=dt, name="attn", deterministic=True
-        )(h, h)
+        h = FusedMHA(num_heads=c.num_heads, dtype=dt, name="attn")(h)
         if c.layerscale_init is not None:
             h = LayerScale(c.hidden_size, c.layerscale_init, name="ls1")(h)
         x = x + h

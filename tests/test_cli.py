@@ -228,3 +228,37 @@ def test_cli_fr3_multiview_train(tmp_path):
     metrics = (workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()
     rec = json.loads(metrics[-1])
     assert np.isfinite(rec["val_loss"])
+
+
+def test_cli_visualize(tmp_path):
+    import cv2
+
+    img_dir = tmp_path / "image"
+    ang_dir = tmp_path / "angle"
+    img_dir.mkdir(), ang_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"image{i}.jpg"), rng.integers(0, 255, size=(60, 80, 3)).astype(np.uint8))
+        (ang_dir / f"angle{i}.json").write_text(json.dumps([0.0, -30.0, 30.0, 0.0, 0.0, 0.0]))
+    csv = tmp_path / "m.csv"
+    main(["sync", "meca500", "--base-dirs", str(img_dir), "--joint-dir", str(ang_dir), "--out", str(csv)])
+    conf = tmp_path / "SN.conf"
+    conf.write_text(CONF_TEXT)
+    calib_dir = tmp_path / "calib"
+    main(["calibrate", "intrinsics", "--conf", str(conf), "--serial", "41182735",
+          "--view", "front", "--resolution", "FHD", "--out-dir", str(calib_dir)])
+    summary = tmp_path / "s.json"
+    main(["calibrate", "manual", "--view", "front", "--cam", "leftcam",
+          "--tvec", "0", "-0.01", "0.75", "--rvec-deg", "96", "98", "-45", "--out", str(summary)])
+    out_dir = tmp_path / "panels"
+    rc = main(["visualize", "--robot", "meca500", "--csv", str(csv),
+               "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+               "--image-hw", "60", "80", "--out-dir", str(out_dir), "--num-samples", "2"])
+    assert rc == 0
+    assert len(list(out_dir.glob("gt_overlay_*.png"))) == 2
+
+
+def test_cli_profile_tiny():
+    rc = main(["profile", "--views", "2", "--model-size", "32",
+               "--hidden-size", "64", "--num-layers", "1", "--iters", "2"])
+    assert rc == 0
