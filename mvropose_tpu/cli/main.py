@@ -147,6 +147,45 @@ def _cmd_calibrate(args) -> int:
         Path(args.out).write_text(json.dumps(records, indent=2))
         print(f"wrote {args.out}")
         return 0
+
+    if args.calib_cmd == "stereo-transfer":
+        # Derive rightcam extrinsics from leftcam via the ZED [STEREO]
+        # factory transform (reference Meca-insertion stage 3,
+        # Meca_insertion_preprocessing.py:316-377).
+        from mvropose_tpu.calib import load_stereo_params, stereo_right_from_left
+
+        serial_map = json.loads(Path(args.serial_map).read_text())  # {view: serial}
+        records = json.loads(Path(args.summary).read_text())
+        by_key = {(r["view"], r["cam"]): r for r in records}
+        added = 0
+        for (view, cam), rec in list(by_key.items()):
+            if cam != "leftcam" or (view, "rightcam") in by_key:
+                continue
+            serial = serial_map.get(view)
+            if serial is None:
+                continue
+            conf = Path(args.conf_dir) / f"SN{serial}.conf"
+            if not conf.exists():
+                print(f"[{view}] no conf for serial {serial}, skipped")
+                continue
+            stereo = load_stereo_params(conf, args.resolution)
+            rvec_l = np.array([rec["rvec_x"], rec["rvec_y"], rec["rvec_z"]])
+            tvec_l = np.array([rec["tvec_x"], rec["tvec_y"], rec["tvec_z"]])
+            rvec_r, tvec_r = stereo_right_from_left(rvec_l, tvec_l, stereo)
+            records.append(
+                {
+                    "view": view, "cam": "rightcam",
+                    "tvec_x": float(tvec_r[0]), "tvec_y": float(tvec_r[1]),
+                    "tvec_z": float(tvec_r[2]),
+                    "rvec_x": float(rvec_r[0]), "rvec_y": float(rvec_r[1]),
+                    "rvec_z": float(rvec_r[2]),
+                    "derived_from": "stereo_baseline",
+                }
+            )
+            added += 1
+        Path(args.summary).write_text(json.dumps(records, indent=2))
+        print(f"derived {added} rightcam extrinsics -> {args.summary}")
+        return 0
     raise SystemExit("unknown calibrate subcommand")
 
 
@@ -619,6 +658,11 @@ def build_parser() -> argparse.ArgumentParser:
     ce.add_argument("--offsets", required=True, help="JSON {view: {marker_id: [x,y,z]}}")
     ce.add_argument("--outlier-deg", type=float, default=1.0)
     ce.add_argument("--out", required=True)
+    cs = csub.add_parser("stereo-transfer")
+    cs.add_argument("--summary", required=True, help="aruco summary JSON to extend in place")
+    cs.add_argument("--serial-map", required=True, help="JSON {view: serial}")
+    cs.add_argument("--conf-dir", required=True)
+    cs.add_argument("--resolution", default="FHD1200")
     pc.set_defaults(fn=_cmd_calibrate)
 
     pt = sub.add_parser("train", help="train an estimator")

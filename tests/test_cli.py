@@ -262,3 +262,24 @@ def test_cli_profile_tiny():
     rc = main(["profile", "--views", "2", "--model-size", "32",
                "--hidden-size", "64", "--num-layers", "1", "--iters", "2"])
     assert rc == 0
+
+
+def test_cli_stereo_transfer(tmp_path):
+    summary = tmp_path / "sum.json"
+    summary.write_text(json.dumps([
+        {"view": "front", "cam": "leftcam", "tvec_x": 0.1, "tvec_y": 0.2,
+         "tvec_z": 1.5, "rvec_x": 0.0, "rvec_y": 0.0, "rvec_z": 0.0},
+    ]))
+    (tmp_path / "SN41182735.conf").write_text(
+        "[STEREO]\nBaseline = 120.0\nTY = 0.0\nTZ = 0.0\n"
+        "RX_FHD1200 = 0.0\nCV_FHD1200 = 0.0\nRZ_FHD1200 = 0.0\n"
+    )
+    smap = tmp_path / "serials.json"
+    smap.write_text(json.dumps({"front": "41182735"}))
+    rc = main(["calibrate", "stereo-transfer", "--summary", str(summary),
+               "--serial-map", str(smap), "--conf-dir", str(tmp_path)])
+    assert rc == 0
+    records = json.loads(summary.read_text())
+    right = [r for r in records if r["cam"] == "rightcam"][0]
+    assert abs(right["tvec_x"] - (0.1 - 0.120)) < 1e-6
+    assert right["derived_from"] == "stereo_baseline"
