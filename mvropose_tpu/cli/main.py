@@ -123,7 +123,10 @@ def _cmd_calibrate(args) -> int:
         for (view, cam), markers in per_cam.items():
             averaged = {}
             for mid, dets in markers.items():
-                avg = average_marker_detections(dets, angular_outlier_deg=args.outlier_deg)
+                avg = average_marker_detections(
+                    dets, angular_outlier_deg=args.outlier_deg,
+                    position_outlier_m=args.outlier_pos,
+                )
                 if avg is not None:
                     averaged[mid] = avg
             view_offsets = {
@@ -341,9 +344,34 @@ def _cmd_train(args) -> int:
     state = create_train_state(model, variables, tcfg)
     eval_step = make_eval_step(tcfg, multi_view, mesh)
 
+    # Per-epoch prediction panels (the reference saved pred-vs-GT overlays to
+    # results_ddp/ and wandb on best epochs, MvRoPose_FR3.py:1176).
+    from mvropose_tpu.utils.metrics_writer import MetricWriter
+    from mvropose_tpu.utils.viz import multi_view_panel, prediction_panel
+
+    writer = MetricWriter(Path(args.workdir) / "logs", use_wandb=args.wandb)
+
+    def on_epoch_end(epoch, state_, record):
+        if (epoch + 1) % args.viz_every != 0:
+            return
+        try:
+            batch = next(iter(val_batches()))
+        except StopIteration:
+            return
+        out = eval_step(state_, batch)
+        imgs = np.asarray(batch["images"])
+        gt = np.asarray(batch["heatmaps"])
+        pred = np.asarray(out["pred_heatmaps"])
+        if multi_view:
+            panel = multi_view_panel(imgs[0], gt[0], pred[0], np.asarray(batch["view_mask"])[0])
+        else:
+            panel = prediction_panel(imgs[0], gt[0], pred[0])
+        writer.write_image(int(state_.step), "val_predictions", panel)
+
     with mesh:
         result = fit(
-            state, step, eval_step, train_batches, val_batches, tcfg, args.workdir
+            state, step, eval_step, train_batches, val_batches, tcfg, args.workdir,
+            metric_writer=writer, on_epoch_end=on_epoch_end,
         )
     print(f"done: best val loss {result.best_val_loss:.6f} over {result.epochs_run} epochs")
     return 0
@@ -492,9 +520,33 @@ def _cmd_serve(args) -> int:
         variables["params"] = load_params_npz(args.params, variables["params"])
     view_ids = jnp.arange(args.views, dtype=jnp.int32)[None]
 
+    # Optional per-camera undistortion: --calib-dir + --camera-keys binds the
+    # i-th source to "{view}_{cam}" calib (the reference undistorts every
+    # grabbed frame, DIP_REAL.py:105; here it is one precomputed remap gather
+    # fused into the jitted step).
+    remaps = None
+    if args.calib_dir and args.camera_keys:
+        from mvropose_tpu.geometry.camera import undistort_map
+
+        keys = args.camera_keys.split(",")
+        assert len(keys) == args.views, "--camera-keys must list one key per view"
+        grids = []
+        for key in keys:
+            matches = sorted(Path(args.calib_dir).glob(f"{key.split('_')[0]}_*_{key.split('_')[1]}_calib.json"))
+            assert matches, f"no calib file for camera key {key}"
+            data = json.loads(matches[0].read_text())
+            K = jnp.asarray(data["camera_matrix"], jnp.float32)
+            dist = jnp.asarray(data["distortion_coeffs"], jnp.float32).reshape(-1)
+            grids.append(undistort_map(K, dist, hw[0], hw[1]))
+        remaps = jnp.stack(grids)
+
     @jax.jit
     def infer(images_u8, mask):
         imgs = images_u8.astype(jnp.float32) / 255.0
+        if remaps is not None:
+            from mvropose_tpu.geometry.camera import remap_bilinear
+
+            imgs = jax.vmap(remap_bilinear)(imgs, remaps)
         imgs = jax.image.resize(
             imgs, (args.views, args.model_size, args.model_size, 3), "bilinear"
         )
@@ -657,6 +709,8 @@ def build_parser() -> argparse.ArgumentParser:
     ce.add_argument("--aruco-dir", required=True)
     ce.add_argument("--offsets", required=True, help="JSON {view: {marker_id: [x,y,z]}}")
     ce.add_argument("--outlier-deg", type=float, default=1.0)
+    ce.add_argument("--outlier-pos", type=float, default=None,
+                    help="position outlier threshold in meters (Meca-insertion used 0.001)")
     ce.add_argument("--out", required=True)
     cs = csub.add_parser("stereo-transfer")
     cs.add_argument("--summary", required=True, help="aruco summary JSON to extend in place")
@@ -686,6 +740,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--single-view", action="store_true")
     pt.add_argument("--no-augment", action="store_true")
     pt.add_argument("--fk-loss-weight", type=float, default=0.0)
+    pt.add_argument("--viz-every", type=int, default=10, help="save prediction panels every N epochs")
+    pt.add_argument("--wandb", action="store_true")
     pt.add_argument("--seed", type=int, default=0)
     pt.set_defaults(fn=_cmd_train)
 
@@ -736,6 +792,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--num-layers", type=int, default=12)
     pv.add_argument("--duration", type=float, default=10.0)
     pv.add_argument("--params", default=None, help="best_params.npz from training")
+    pv.add_argument("--calib-dir", default=None)
+    pv.add_argument("--camera-keys", default=None,
+                    help="comma-separated '{view}_{cam}' per source for undistortion")
     pv.set_defaults(fn=_cmd_serve)
 
     return p

@@ -21,7 +21,7 @@ from mvropose_tpu.models.heads import (
     UNetViTKeypointHead,
     JointAngleHead,
 )
-from mvropose_tpu.models.fusion import MultiViewFusion, TransformerDecoderLayer
+from mvropose_tpu.models.fusion import MultiViewFusion, SelfAttentionFusion, TransformerDecoderLayer
 from mvropose_tpu.models.estimator import (
     EstimatorConfig,
     SingleViewPoseEstimator,
@@ -37,6 +37,7 @@ __all__ = [
     "UNetViTKeypointHead",
     "JointAngleHead",
     "MultiViewFusion",
+    "SelfAttentionFusion",
     "TransformerDecoderLayer",
     "EstimatorConfig",
     "SingleViewPoseEstimator",

@@ -24,6 +24,40 @@ from mvropose_tpu.models.heads import DecoderLayer
 TransformerDecoderLayer = DecoderLayer
 
 
+class SelfAttentionFusion(nn.Module):
+    """Prototype fusion variant: one self-attention + MLP block over the
+    concatenation of all views' tokens (reference MV-model.ipynb cell 3,
+    185-238 / Fr5_model_train.ipynb cell 15), with masking added.
+
+    Returns the full (B, V*N, D) cross-view-contextualized token sequence;
+    callers pool or slice per view. Kept for architecture ablations - the
+    latent-query MultiViewFusion below is the flagship (it summarizes to a
+    fixed Q regardless of V, which is both cheaper and V_max-invariant).
+    """
+
+    num_heads: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, view_tokens, view_mask=None, train: bool = False):
+        B, V, N, D = view_tokens.shape
+        x = view_tokens.reshape(B, V * N, D).astype(self.dtype)
+        mask = None
+        if view_mask is not None:
+            key_mask = jnp.repeat(view_mask.astype(bool), N, axis=1)  # (B, V*N)
+            mask = key_mask[:, None, None, :]
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, deterministic=not train,
+            name="self_attn",
+        )(x, x, mask=mask)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + h).astype(self.dtype)
+        h = nn.Dense(D * 4, dtype=self.dtype, name="mlp1")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(D, dtype=self.dtype, name="mlp2")(h)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + h).astype(self.dtype)
+        return x.reshape(B, V, N, D)
+
+
 class MultiViewFusion(nn.Module):
     """(B, V, N, D) view tokens + (B, V) mask -> (B, num_queries, D) summary."""
 

@@ -223,3 +223,33 @@ def test_roi_degenerate_box_skipped(tmp_path, rig):
     ds = SingleViewDataset([s], rig, (H, W))
     batch = next(ds.batches(batch_size=1))
     assert batch["sample_weight"][0] == 0.0
+
+
+def test_grain_loader_batches(tmp_path, rig):
+    """Grain pipeline yields the same fixed-shape schema, sharded + shuffled."""
+    from mvropose_tpu.data.grain_loader import make_grain_loader
+
+    samples = []
+    for i in range(8):
+        p = tmp_path / f"zed_41182735_left_{7000 + i}.0.jpg"
+        _write_img(p, i)
+        samples.append(
+            SingleViewSample(
+                image_path=str(p), camera_key="front_leftcam", view="front",
+                angles=np.array([float(i), -20, 30, 0, 45, 0], np.float32),
+            )
+        )
+    ds = SingleViewDataset(samples, rig, (H, W))
+    batches = list(make_grain_loader(ds, batch_size=4, shuffle=True, seed=1))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images_u8"].shape == (4, H, W, 3)
+    assert b["keypoints_2d"].shape == (4, 7, 2)
+    assert b["sample_weight"].sum() == 4.0
+    # Sharding: two shards partition the data.
+    sh0 = list(make_grain_loader(ds, batch_size=4, shard_index=0, shard_count=2))
+    sh1 = list(make_grain_loader(ds, batch_size=4, shard_index=1, shard_count=2))
+    a0 = set(np.concatenate([s["angles"][:, 0] for s in sh0]).tolist())
+    a1 = set(np.concatenate([s["angles"][:, 0] for s in sh1]).tolist())
+    assert a0.isdisjoint(a1)
+    assert len(a0 | a1) == 8

@@ -118,3 +118,23 @@ def test_frozen_backbone_gets_no_grad():
     )
     assert float(backbone_norm) == 0.0
     assert float(head_norm) > 0.0
+
+
+def test_self_attention_fusion_mask_invariance(rng):
+    """Prototype self-attn fusion variant: masked views contribute nothing."""
+    import jax.numpy as jnp
+
+    from mvropose_tpu.models import SelfAttentionFusion
+
+    model = SelfAttentionFusion(num_heads=4, dtype=jnp.float32)
+    toks = jnp.asarray(rng.normal(size=(1, 2, 8, 32)).astype(np.float32))
+    mask2 = jnp.ones((1, 2), dtype=bool)
+    variables = model.init(jax.random.PRNGKey(0), toks, mask2)
+    out2 = model.apply(variables, toks, mask2)
+    assert out2.shape == (1, 2, 8, 32)
+
+    garbage = jnp.asarray(rng.normal(size=(1, 1, 8, 32)).astype(np.float32) * 40)
+    toks3 = jnp.concatenate([toks, garbage], axis=1)
+    mask3 = jnp.asarray([[True, True, False]])
+    out3 = model.apply(variables, toks3, mask3)
+    np.testing.assert_allclose(np.asarray(out3[:, :2]), np.asarray(out2), atol=1e-4)
