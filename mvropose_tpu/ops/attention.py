@@ -23,13 +23,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _reference_attention(q, k, v, sm_scale):
-    # (B, H, T, d) einsum path (used on CPU / for parity tests).
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm_scale
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-
-
 def fused_self_attention(
     q: jnp.ndarray,  # (B, T, H, d) - flax layout
     k: jnp.ndarray,
@@ -42,13 +35,20 @@ def fused_self_attention(
     if use_flash is None:
         use_flash = False  # XLA wins at ViT-scale T; see module docstring.
 
+    if not use_flash:
+        # Einsums stay in the native (B, T, H, d) layout - no materialized
+        # transposes - and softmax stays in the compute dtype (flax MHA
+        # semantics). Upcasting the (B, H, T, T) logits to f32 for softmax
+        # costs ~2 extra HBM round-trips of a ~100 MB tensor per layer
+        # (measured ~10% of the serve step); jnp.exp is computed with f32
+        # internal precision on the VPU regardless.
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * sm_scale, k)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
     qh = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, T, d)
     kh = jnp.transpose(k, (0, 2, 1, 3))
     vh = jnp.transpose(v, (0, 2, 1, 3))
-
-    if not use_flash:
-        out = _reference_attention(qh, kh, vh, sm_scale)
-        return jnp.transpose(out, (0, 2, 1, 3))
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
