@@ -438,12 +438,33 @@ def _cmd_eval(args) -> int:
     variables = dict(variables)
     variables["params"] = load_params_npz(args.params, variables["params"])
 
+    # Optional occlusion-robustness probe: solid random rectangles on the
+    # model inputs (the reference's adversarial masking at inference,
+    # Fr5_model_train.ipynb cell 14 load_image_and_preprocess).
+    occl_rng = jax.random.PRNGKey(7)
+
+    def maybe_occlude(x):
+        nonlocal occl_rng
+        if args.occlusion_masks <= 0:
+            return x
+        from mvropose_tpu.data.augment import random_masking
+        from mvropose_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+        occl_rng, key = jax.random.split(occl_rng)
+        lead = x.shape[:-3]
+        flat = x.reshape(-1, *x.shape[-3:])
+        # Masking operates in [0, 1]: denormalize, mask, renormalize.
+        raw = flat * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN)
+        raw = random_masking(key, jnp.clip(raw, 0, 1), num_masks=args.occlusion_masks)
+        return ((raw - IMAGENET_MEAN) / IMAGENET_STD).reshape(x.shape).astype(x.dtype)
+
     pcks, maes, adds, n = [], [], [], 0
     for batch in ds.batches(args.batch_size):
         imgs, gt_hms = pre(
             jnp.asarray(batch["images_u8"]), jnp.asarray(batch["cam_idx"]),
             jnp.asarray(batch["keypoints_2d"]),
         )
+        imgs = maybe_occlude(imgs)
         if multi_view:
             pred_hm, pred_ang = model.apply(
                 variables, imgs, jnp.asarray(batch["view_ids"]), jnp.asarray(batch["view_mask"])
@@ -467,6 +488,7 @@ def _cmd_eval(args) -> int:
         "angle_mae": float(np.mean(maes)),
         "add_m": float(np.mean(adds)),
         "samples": n,
+        "occlusion_masks": args.occlusion_masks,
     }
     print(json.dumps(report))
     return 0
@@ -759,6 +781,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--sigma", type=float, default=5.0)
     pe.add_argument("--tolerance", type=float, default=0.07)
     pe.add_argument("--pck-px", type=float, default=5.0)
+    pe.add_argument("--occlusion-masks", type=int, default=0,
+                    help="occlusion-robustness probe: N random solid rectangles per image")
     pe.add_argument("--single-view", action="store_true")
     pe.set_defaults(fn=_cmd_eval)
 

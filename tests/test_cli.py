@@ -135,6 +135,18 @@ def test_cli_sync_and_calibrate_and_train_meca500(tmp_path):
     )
     assert rc == 0
 
+    # --- occlusion-robustness probe variant ---
+    rc = main(
+        [
+            "eval", "--robot", "meca500", "--csv", str(csv),
+            "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+            "--params", str(params), "--image-hw", "60", "80",
+            "--model-size", "64", "--hidden-size", "64", "--num-layers", "2",
+            "--batch-size", "2", "--occlusion-masks", "1",
+        ]
+    )
+    assert rc == 0
+
 
 def test_cli_group(tmp_path, capsys):
     import pandas as pd
