@@ -17,7 +17,7 @@ against scipy) rather than scipy itself.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Mapping, Sequence
+from typing import Mapping, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -26,7 +26,6 @@ from mvropose_tpu.geometry.rotations import (
     average_quaternion,
     quat_angular_distance,
     quat_to_matrix,
-    matrix_to_quat,
     matrix_to_rodrigues,
     rodrigues_to_matrix,
 )

@@ -9,8 +9,6 @@ the same SingleViewDataset / MultiViewDataset types.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
 

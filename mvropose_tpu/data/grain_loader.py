@@ -11,8 +11,6 @@ built-in sharding options - the DistributedSampler equivalent
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import grain
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mvropose_tpu.geometry.camera import project_points
-from mvropose_tpu.geometry.rotations import matrix_to_rodrigues, rodrigues_to_matrix
+from mvropose_tpu.geometry.rotations import matrix_to_rodrigues
 
 
 def _normalize_2d(pts: jnp.ndarray, weights: jnp.ndarray):

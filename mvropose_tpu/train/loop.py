@@ -16,7 +16,6 @@ from pathlib import Path
 from typing import Callable, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mvropose_tpu.train.state import TrainState, TrainConfig

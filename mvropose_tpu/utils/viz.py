@@ -9,8 +9,6 @@ overlays and keypoint scatter panels, composed with cv2 into numpy images
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 from mvropose_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
