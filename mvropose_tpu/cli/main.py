@@ -458,6 +458,13 @@ def _cmd_eval(args) -> int:
         raw = random_masking(key, jnp.clip(raw, 0, 1), num_masks=args.occlusion_masks)
         return ((raw - IMAGENET_MEAN) / IMAGENET_STD).reshape(x.shape).astype(x.dtype)
 
+    # One jitted forward reused across batches (un-jitted flax apply would
+    # retrace every call).
+    if multi_view:
+        apply_fn = jax.jit(lambda im, vi, vm: model.apply(variables, im, vi, vm))
+    else:
+        apply_fn = jax.jit(lambda im: model.apply(variables, im))
+
     pcks, maes, adds, n = [], [], [], 0
     for batch in ds.batches(args.batch_size):
         imgs, gt_hms = pre(
@@ -466,12 +473,12 @@ def _cmd_eval(args) -> int:
         )
         imgs = maybe_occlude(imgs)
         if multi_view:
-            pred_hm, pred_ang = model.apply(
-                variables, imgs, jnp.asarray(batch["view_ids"]), jnp.asarray(batch["view_mask"])
+            pred_hm, pred_ang = apply_fn(
+                imgs, jnp.asarray(batch["view_ids"]), jnp.asarray(batch["view_mask"])
             )
             valid = jnp.asarray(batch["view_mask"])[..., None]
         else:
-            pred_hm, pred_ang = model.apply(variables, imgs)
+            pred_hm, pred_ang = apply_fn(imgs)
             valid = jnp.asarray(batch["sample_weight"])[..., None]
         pred_xy, _ = argmax_decode(pred_hm)
         gt_xy, _ = argmax_decode(gt_hms)

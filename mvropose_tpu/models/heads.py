@@ -92,7 +92,12 @@ class UNetViTKeypointHead(nn.Module):
         x = TokenFuser(256, dtype=self.dtype, name="token_fuser")(x, train)
         x = FusedUpsampleBlock(128, dtype=self.dtype, name="decoder_block1")(x, feat_8, train)
         x = FusedUpsampleBlock(64, dtype=self.dtype, name="decoder_block2")(x, feat_4, train)
-        x = _resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
+        # Final x2 upsample only when the decoder is still below the heatmap
+        # resolution (with large inputs, e.g. 512px -> 32x32 grid, the chain
+        # would overshoot to 256^2 and immediately resize back down - wasted
+        # conv area; the reference always overshot, DREAM_Train.py:316-319).
+        if x.shape[1] < self.heatmap_size[0]:
+            x = _resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2))
         x = nn.Conv(self.num_joints, (3, 3), padding=1, dtype=self.dtype, name="heatmap_predictor")(x)
         x = _resize_bilinear(x.astype(jnp.float32), self.heatmap_size)
         return jnp.transpose(x, (0, 3, 1, 2))  # (B, J, Hm, Wm)

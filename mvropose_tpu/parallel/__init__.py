@@ -16,10 +16,17 @@ Axes:
 """
 
 from mvropose_tpu.parallel.mesh import (
+    initialize_distributed,
     make_mesh,
     batch_sharding,
     replicated,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "initialize_distributed",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+]

@@ -9,6 +9,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: jax.distributed.initialize wrapper.
+
+    On Cloud TPU pods the arguments auto-detect from the environment; pass
+    them explicitly elsewhere. After this, jax.devices() spans the slice and
+    make_mesh() builds a global mesh - the torchrun/NCCL-process-group
+    equivalent (reference DREAM_Train.py:675-680) with no per-rank user code.
+    Call once, before any jax computation.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,
