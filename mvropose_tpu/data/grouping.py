@@ -29,7 +29,14 @@ def group_by_time_tolerance(
     if df.empty:
         return []
     if angle_cols is None:
-        angle_cols = [c for c in df.columns if c.startswith("position_") or c.startswith("joint_")]
+        import re
+
+        # position_<name> (FR3 YAML schema) or joint_<N> (per-file schema);
+        # excludes joint_timestamp / joint_path bookkeeping columns.
+        angle_cols = [
+            c for c in df.columns
+            if c.startswith("position_") or re.fullmatch(r"joint_\d+", c)
+        ]
     df = df.sort_values(ts_col, ignore_index=True)
 
     groups: list[dict] = []

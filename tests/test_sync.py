@@ -197,3 +197,19 @@ def test_tolerance_grid_search():
     best, dist = tolerance_grid_search(df, [0.01, 0.05, 0.10], max_views=8)
     assert best == 0.10  # widest tolerance makes the most full groups
     assert dist[0.10][8] == 5
+
+
+def test_grouping_default_angle_cols_exclude_bookkeeping():
+    """joint_timestamp/joint_path must not leak into joint_angles."""
+    df = pd.DataFrame(
+        {
+            "robot_timestamp": [0.0, 0.01],
+            "joint_timestamp": [99.0, 99.0],
+            "joint_path": ["a", "b"],
+            "image_path": ["x", "y"],
+            "joint_1": [1.0, 1.0],
+            "joint_2": [2.0, 2.0],
+        }
+    )
+    groups = group_by_time_tolerance(df, 0.05, max_views=8)
+    assert groups[0]["joint_angles"] == [1.0, 2.0]
