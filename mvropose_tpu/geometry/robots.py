@@ -55,6 +55,11 @@ class RobotSpec:
     # Keypoint skeleton links (index pairs) for visualization / ADD.
     links: Tuple[Tuple[int, int], ...] = ()
 
+    def __hash__(self):
+        # Explicit hash (the dict field defeats the frozen-dataclass default)
+        # so a RobotSpec can be a jit static argument.
+        return hash((self.name, self.convention, self.dh_params, self.angle_unit))
+
     @property
     def n_joints(self) -> int:
         return len(self.dh_params)

@@ -98,6 +98,48 @@ def recover_pose_single_view(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("robot", "image_hw", "n_hypotheses", "use_pallas")
+)
+def recover_pose_batch(
+    heatmaps: jnp.ndarray,  # (V, J, Hm, Wm) raw logits, one per camera
+    pred_angles: jnp.ndarray,  # (A,) shared robot state
+    base_rotations: jnp.ndarray,  # (V, 3, 3) per-view base corrections
+    Ks: jnp.ndarray,  # (V, 3, 3)
+    robot: RobotSpec,
+    image_hw: tuple[int, int],
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    key: jax.Array | None = None,
+    n_hypotheses: int = 16,
+    use_pallas: bool = False,
+):
+    """Fully-jitted per-camera 6D pose recovery for a whole rig tick.
+
+    decode -> FK(pred angles) -> RANSAC PnP, vmapped over the V cameras - the
+    batched serve-path closure of the reference's per-view host loop
+    (Fr5_model_train.ipynb cell 14 main loop). Returns dict with rvec (V, 3),
+    tvec (V, 3), n_inliers (V,), success (V,), keypoints_xy (V, J, 2),
+    confidence (V, J).
+    """
+    V = heatmaps.shape[0]
+    xy, conf = decode_keypoints(heatmaps, image_hw=image_hw, use_pallas=use_pallas)
+    weights = (conf >= confidence_threshold).astype(jnp.float32)  # (V, J)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, V)
+
+    def per_view(base, xy_v, w_v, K_v, k_v):
+        obj = forward_kinematics(robot, pred_angles, base)
+        return solve_pnp_ransac(
+            obj, xy_v, K_v, weights=w_v, key=k_v, n_hypotheses=n_hypotheses
+        )
+
+    result = jax.vmap(per_view)(base_rotations, xy, weights, Ks, keys)
+    result["keypoints_xy"] = xy
+    result["confidence"] = conf
+    return result
+
+
 @functools.partial(jax.jit, static_argnames=("image_hw",))
 def recover_pose_multiview(
     heatmaps: jnp.ndarray,  # (V, J, Hm, Wm)
@@ -138,6 +180,7 @@ def reprojection_errors(
 
 __all__ = [
     "PoseResult",
+    "recover_pose_batch",
     "recover_pose_single_view",
     "recover_pose_multiview",
     "reprojection_errors",

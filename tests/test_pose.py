@@ -102,3 +102,33 @@ def test_multiview_triangulation_recovery():
     err = np.linalg.norm(np.asarray(pts3d) - pts_world, axis=-1)
     # Heatmap-cell quantization (~10px) at ~1.9m depth -> ~2-3cm.
     assert np.median(err[np.asarray(obs) > 0]) < 0.05
+
+
+def test_recover_pose_batch_jitted():
+    """Whole-rig jitted pose recovery: per-camera poses in one call."""
+    from mvropose_tpu.pose import recover_pose_batch
+
+    rng = np.random.default_rng(5)
+    angles = rng.uniform(-1.0, 1.0, size=7)
+    rvecs, tvecs, maps = [], [], []
+    for i in range(3):
+        rvec = np.array([0.15 * i, 0.4 * i - 0.5, 0.02])
+        tvec = np.array([0.15 * i - 0.2, 0.03, 1.8])
+        hm, _ = make_view(angles, rvec, tvec)
+        rvecs.append(rvec); tvecs.append(tvec); maps.append(np.asarray(hm))
+
+    out = recover_pose_batch(
+        jnp.asarray(np.stack(maps)),
+        jnp.asarray(angles, jnp.float32),
+        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (3, 1, 1))),
+        jnp.asarray(np.stack([K] * 3), jnp.float32),
+        FR3,
+        IMG_HW,
+        key=jax.random.PRNGKey(0),
+        n_hypotheses=32,
+    )
+    assert out["rvec"].shape == (3, 3)
+    assert bool(np.asarray(out["success"]).all())
+    for i in range(3):
+        t_err = np.linalg.norm(np.asarray(out["tvec"][i]) - tvecs[i])
+        assert t_err < 0.12, (i, t_err)
