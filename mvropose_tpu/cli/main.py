@@ -530,7 +530,15 @@ def _cmd_serve(args) -> int:
         image_size=args.model_size, patch_size=16, hidden_size=args.hidden_size,
         num_layers=args.num_layers, num_heads=args.hidden_size // 64, dtype="bfloat16",
     )
-    cfg = EstimatorConfig(vit=vit, num_joints=8, num_angles=7, max_views=args.views)
+    # With --recover-pose, head arity must match the robot (heatmap channels
+    # = keypoints, regressed angles = joints).
+    n_joints, n_angles = 8, 7
+    if args.recover_pose:
+        from mvropose_tpu.geometry.robots import get_robot as _get_robot
+
+        _r = _get_robot(args.pose_robot)
+        n_joints, n_angles = _r.n_keypoints, _r.n_joints
+    cfg = EstimatorConfig(vit=vit, num_joints=n_joints, num_angles=n_angles, max_views=args.views)
     model = MultiViewPoseEstimator(cfg)
     shapes = jax.eval_shape(
         lambda k: model.init(
@@ -569,6 +577,24 @@ def _cmd_serve(args) -> int:
             grids.append(undistort_map(K, dist, hw[0], hw[1]))
         remaps = jnp.stack(grids)
 
+    recover = None
+    if args.recover_pose:
+        from mvropose_tpu.geometry.robots import get_robot
+        from mvropose_tpu.pose import recover_pose_batch
+
+        robot = get_robot(args.pose_robot)
+        Ks_pose = jnp.asarray(
+            np.tile(
+                np.array([[737.0, 0, hw[1] / 2], [0, 737.0, hw[0] / 2], [0, 0, 1]], np.float32),
+                (args.views, 1, 1),
+            )
+        )
+        bases = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (args.views, 1, 1)))
+        recover = lambda hm, ang: recover_pose_batch(
+            hm, ang, bases, Ks_pose, robot, hw,
+            use_pallas=jax.default_backend() == "tpu",
+        )
+
     @jax.jit
     def infer(images_u8, mask):
         imgs = images_u8.astype(jnp.float32) / 255.0
@@ -583,6 +609,9 @@ def _cmd_serve(args) -> int:
 
         imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         hm, ang = model.apply(variables, imgs[None], view_ids, mask[None])
+        if recover is not None:
+            pose = recover(hm[0], ang[0])
+            return pose["keypoints_xy"], pose["confidence"], ang, pose["rvec"], pose["tvec"], pose["success"]
         xy, conf = decode_keypoints(hm[0], image_hw=hw, use_pallas=jax.default_backend() == "tpu")
         return xy, conf, ang
 
@@ -826,6 +855,9 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--calib-dir", default=None)
     pv.add_argument("--camera-keys", default=None,
                     help="comma-separated '{view}_{cam}' per source for undistortion")
+    pv.add_argument("--recover-pose", action="store_true",
+                    help="run full 6D RANSAC-PnP pose recovery per camera inside the tick")
+    pv.add_argument("--pose-robot", default="fr3")
     pv.set_defaults(fn=_cmd_serve)
 
     return p

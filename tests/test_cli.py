@@ -295,3 +295,14 @@ def test_cli_stereo_transfer(tmp_path):
     right = [r for r in records if r["cam"] == "rightcam"][0]
     assert abs(right["tvec_x"] - (0.1 - 0.120)) < 1e-6
     assert right["derived_from"] == "stereo_baseline"
+
+
+def test_cli_serve_with_pose_recovery():
+    rc = main(
+        [
+            "serve", "--views", "2", "--fps", "60", "--frame-hw", "32", "48",
+            "--model-size", "32", "--hidden-size", "64", "--num-layers", "1",
+            "--duration", "1.0", "--recover-pose", "--pose-robot", "meca500",
+        ]
+    )
+    assert rc == 0
