@@ -23,9 +23,10 @@ class StageTimer:
         self.counts: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
-    def stage(self, name: str, sync_on=None) -> Iterator[None]:
-        """Time a named stage; pass the stage's output array(s) as `sync_on`
-        via a mutable list you append to, or rely on the next stage's sync."""
+    def stage(self, name: str) -> Iterator[None]:
+        """Time a named stage (wall time of the enclosed block; for device
+        work prefer `timed`, which blocks on the result). The name also
+        becomes a jax.named_scope, so it shows up in profiler traces."""
         with jax.named_scope(name):
             t0 = time.perf_counter()
             yield
