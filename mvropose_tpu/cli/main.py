@@ -48,6 +48,9 @@ def _cmd_sync(args) -> int:
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     df.to_csv(args.out, index=False)
     print(f"synced {len(df)} rows -> {args.out}")
+    if args.strict and len(df) == 0:
+        print("error: --strict and no rows matched (check paths/tolerance)", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -462,10 +465,33 @@ def _cmd_eval(args) -> int:
     # retrace every call).
     if multi_view:
         apply_fn = jax.jit(lambda im, vi, vm: model.apply(variables, im, vi, vm))
+        ds.with_extrinsics = True  # enables triangulated-3D eval
+        from mvropose_tpu.pose import recover_pose_multiview
+
+        def tri_add(pred_hm, batch, fk_gt):
+            """Triangulated decoded keypoints vs GT FK skeleton, per sample."""
+            B = pred_hm.shape[0]
+            vals = []
+            for b in range(B):
+                pts3d, obs = recover_pose_multiview(
+                    pred_hm[b],
+                    jnp.asarray(batch["view_mask"][b]),
+                    jnp.asarray(batch["rvec"][b]),
+                    jnp.asarray(batch["tvec"][b]),
+                    jnp.asarray(batch["K"][b]),
+                    tuple(args.image_hw),
+                )
+                obs_np = np.asarray(obs)
+                if obs_np.sum() < 1 or batch["sample_weight"][b] == 0:
+                    continue
+                d = np.linalg.norm(np.asarray(pts3d) - np.asarray(fk_gt[b]), axis=-1)
+                vals.append(float(np.mean(d[obs_np > 0])))
+            return vals
     else:
         apply_fn = jax.jit(lambda im: model.apply(variables, im))
+        tri_add = None
 
-    pcks, maes, adds, n = [], [], [], 0
+    pcks, maes, adds, tri_adds, n = [], [], [], [], 0
     for batch in ds.batches(args.batch_size):
         imgs, gt_hms = pre(
             jnp.asarray(batch["images_u8"]), jnp.asarray(batch["cam_idx"]),
@@ -489,6 +515,8 @@ def _cmd_eval(args) -> int:
         fk_pred = forward_kinematics_batch(rig.robot, pred_ang)
         fk_gt = forward_kinematics_batch(rig.robot, gt_ang)
         adds.append(float(add_metric(fk_pred, fk_gt)))
+        if tri_add is not None:
+            tri_adds.extend(tri_add(pred_hm, batch, np.asarray(fk_gt)))
         n += int(np.sum(batch.get("sample_weight", np.ones(1))))
     report = {
         f"pck@{args.pck_px}px": float(np.mean(pcks)),
@@ -497,6 +525,8 @@ def _cmd_eval(args) -> int:
         "samples": n,
         "occlusion_masks": args.occlusion_masks,
     }
+    if tri_adds:
+        report["triangulated_add_m"] = float(np.mean(tri_adds))
     print(json.dumps(report))
     return 0
 
@@ -738,6 +768,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--out", required=True)
     ps.add_argument("--tolerance", type=float, default=0.05)
     ps.add_argument("--image-delay", type=float, default=0.0333)
+    ps.add_argument("--strict", action="store_true", help="exit nonzero when 0 rows matched")
     ps.set_defaults(fn=_cmd_sync)
 
     pg = sub.add_parser("group", help="multi-view temporal grouping + grid search")

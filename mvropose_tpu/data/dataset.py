@@ -285,7 +285,10 @@ class SingleViewDataset:
 
 
 class MultiViewDataset:
-    """Grouped rows -> fixed-shape multi-view batches with view masks."""
+    """Grouped rows -> fixed-shape multi-view batches with view masks.
+
+    with_extrinsics=True adds per-view (rvec, tvec, K) arrays - inputs for
+    triangulation-based eval metrics and the FK-consistency loss."""
 
     def __init__(
         self,
@@ -295,12 +298,14 @@ class MultiViewDataset:
         max_views: int | None = None,
         pose_from_path=None,  # path -> pose name prefix for extrinsics
         angles_transform=None,  # raw group angles -> model angle vector
+        with_extrinsics: bool = False,
     ):
         self.groups = list(groups)
         self.geometry = _RigGeometry(rig, image_hw)
         self.max_views = max_views or rig.max_views
         self.pose_from_path = pose_from_path
         self.angles_transform = angles_transform
+        self.with_extrinsics = with_extrinsics
 
     def __len__(self) -> int:
         return len(self.groups)
@@ -329,6 +334,11 @@ class MultiViewDataset:
             angles = np.zeros((B, A), np.float32)
             kpts = np.zeros((B, V, J, 2), np.float32)
             weight = np.zeros((B,), np.float32)
+            if self.with_extrinsics:
+                rvecs = np.zeros((B, V, 3), np.float32)
+                tvecs = np.zeros((B, V, 3), np.float32)
+                tvecs[:, :, 2] = 1.0
+                Ks = np.tile(np.eye(3, dtype=np.float32), (B, V, 1, 1))
             for slot, i in enumerate(idxs):
                 g = self.groups[i]
                 raw_angles = np.asarray(g["joint_angles"], np.float32)
@@ -361,8 +371,13 @@ class MultiViewDataset:
                     kpts[slot, v] = self.geometry.gt_keypoints(sample, ekey)
                     view_mask[slot, v] = True
                     any_view = True
+                    if self.with_extrinsics:
+                        extr = rig.extrinsics[ekey]
+                        rvecs[slot, v] = extr.rvec
+                        tvecs[slot, v] = extr.tvec
+                        Ks[slot, v] = rig.calibs[ckey].camera_matrix
                 weight[slot] = 1.0 if any_view else 0.0
-            yield {
+            batch = {
                 "images_u8": images,
                 "view_ids": view_ids,
                 "view_mask": view_mask,
@@ -371,3 +386,6 @@ class MultiViewDataset:
                 "keypoints_2d": kpts,
                 "sample_weight": weight,
             }
+            if self.with_extrinsics:
+                batch.update(rvec=rvecs, tvec=tvecs, K=Ks)
+            yield batch

@@ -241,6 +241,16 @@ def test_cli_fr3_multiview_train(tmp_path):
     rec = json.loads(metrics[-1])
     assert np.isfinite(rec["val_loss"])
 
+    # --- multi-view eval incl. triangulated ADD ---
+    rc = main([
+        "eval", "--robot", "fr3", "--csv", str(csv),
+        "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+        "--params", str(workdir / "best_params.npz"), "--image-hw", "60", "80",
+        "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+        "--batch-size", "2", "--tolerance", "0.05",
+    ])
+    assert rc == 0
+
 
 def test_cli_visualize(tmp_path):
     import cv2
