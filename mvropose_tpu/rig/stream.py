@@ -55,12 +55,19 @@ class StreamingPipeline:
         on_result: Optional[Callable] = None,
         frame_hw: tuple[int, int] = (720, 1280),
         init_timeout_s: float = 10.0,
+        max_skew_s: float | None = None,
     ):
+        """max_skew_s: when set, a camera whose latest frame is older than
+        the newest frame by more than this is masked out for the tick -
+        stale views must not be fused as if synchronized (the reference
+        displayed whatever was latest per camera with no skew check,
+        DIP_REAL.py:219)."""
         self.sources = list(sources)
         self.infer_fn = infer_fn
         self.on_result = on_result
         self.frame_hw = frame_hw
         self.init_timeout_s = init_timeout_s
+        self.max_skew_s = max_skew_s
         self.stats = StreamStats()
         self.active: list[CameraSource] = []
         self.failed: list[CameraSource] = []
@@ -97,6 +104,14 @@ class StreamingPipeline:
             frames[i] = f
         if not mask.any():
             return None
+        if self.max_skew_s is not None:
+            newest = max(f.timestamp for f in frames if f is not None)
+            for i, f in enumerate(frames):
+                if f is not None and newest - f.timestamp > self.max_skew_s:
+                    mask[i] = False
+                    frames[i] = None
+            if not mask.any():
+                return None
         t0 = time.perf_counter()
         result = self.infer_fn(images, mask)
         self.stats.total_step_time_s += time.perf_counter() - t0

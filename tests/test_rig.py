@@ -97,3 +97,48 @@ def test_draw_keypoints_skips_low_confidence():
     )
     assert out[5, 5].tolist() == [0, 255, 0]
     assert out[20, 20].tolist() == [0, 0, 0]  # low-confidence point not drawn
+
+
+def test_streaming_pipeline_staleness_gate():
+    """A camera whose frames are stale gets masked for the tick."""
+    import time as _time
+
+    from mvropose_tpu.rig.source import _MailboxSource
+
+    class FrozenSource(_MailboxSource):
+        """Publishes one frame then stops updating (stale camera)."""
+
+        def __init__(self, serial, hw, ts):
+            super().__init__(serial)
+            self._hw = hw
+            self._ts = ts
+
+        def _run(self):
+            self._ready = True
+            self._publish(np.zeros((*self._hw, 3), np.uint8), self._ts)
+            while not self._stop.is_set():
+                _time.sleep(0.01)
+
+    hw = (8, 12)
+    now = _time.time()
+    fresh = FrozenSource("fresh", hw, now)
+    stale = FrozenSource("stale", hw, now - 5.0)
+
+    masks = []
+
+    def infer(images, mask):
+        masks.append(mask.copy())
+        return None
+
+    pipe = StreamingPipeline([fresh, stale], infer, frame_hw=hw, max_skew_s=0.5)
+    pipe.start()
+    try:
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            if pipe.tick() is not None or masks:
+                break
+            _time.sleep(0.01)
+    finally:
+        pipe.stop()
+    assert masks, "no tick ran"
+    assert masks[0].tolist() == [True, False]
