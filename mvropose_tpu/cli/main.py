@@ -648,7 +648,7 @@ def _cmd_serve(args) -> int:
     def infer_np(images, mask):
         return infer(jnp.asarray(images), jnp.asarray(mask))
 
-    pipe = StreamingPipeline(sources, infer_np, frame_hw=hw)
+    pipe = StreamingPipeline(sources, infer_np, frame_hw=hw, max_skew_s=args.max_skew)
     pipe.start()
     try:
         print(f"active cameras: {len(pipe.active)}, failed: {len(pipe.failed)}")
@@ -889,6 +889,8 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--recover-pose", action="store_true",
                     help="run full 6D RANSAC-PnP pose recovery per camera inside the tick")
     pv.add_argument("--pose-robot", default="fr3")
+    pv.add_argument("--max-skew", type=float, default=None,
+                    help="mask cameras whose latest frame lags the newest by more than this (s)")
     pv.set_defaults(fn=_cmd_serve)
 
     return p

@@ -44,6 +44,7 @@ from mvropose_tpu.geometry.pnp import (
     solve_pnp_ransac,
 )
 from mvropose_tpu.geometry.triangulation import triangulate_dlt
+from mvropose_tpu.geometry.ik import fk_jacobian, solve_ik
 
 __all__ = [
     "rodrigues_to_matrix",
@@ -77,4 +78,6 @@ __all__ = [
     "refine_pnp_lm",
     "solve_pnp_ransac",
     "triangulate_dlt",
+    "fk_jacobian",
+    "solve_ik",
 ]
