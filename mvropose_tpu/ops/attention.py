@@ -8,13 +8,16 @@ flash-attention kernel (tiled online-softmax, scores never leave VMEM) with:
     segment ids so padded keys contribute exactly nothing;
   * a jnp fallback on non-TPU backends (tests run it on CPU).
 
-MEASURED VERDICT (v5e, B=4, H=12, T=1025, d=64, bf16): XLA's einsum+softmax
-lowering is ~0.03 ms/layer - it already tiles this shape onto the MXU without
-a full HBM round-trip - while the Pallas flash kernel costs 1.5-2.7 ms/layer
-here (pad-to-block overhead + kernel launch at short T). The fused kernel
-only wins at much longer sequences, so the DEFAULT is the XLA path; pass
-use_flash=True to opt in for long-sequence configs (e.g. 8 views x 4k tokens
-fused in one attention).
+MEASURED VERDICT (v5e, B=4, H=12, T=1025, d=64, bf16; 12-block ViT body):
+  * XLA einsum+softmax: 8.8 ms body (attention share ~3.8 ms, ~0.32 ms/layer)
+  * stock Pallas flash_attention (best block config): 12.9 ms body
+  * custom online-softmax kernel (B*H folded, blk 576/576, this repo's
+    experiment): 10.1 ms body
+XLA wins at this scale: its fused HLO pipelines the short-T attention better
+than either kernel, and d=64 wastes half the lanes in a Pallas tile. The
+DEFAULT is therefore the XLA path; pass use_flash=True only for
+long-sequence configs (e.g. 8 views x 4k tokens fused in one attention),
+where the O(T^2) logits materialization eventually dominates.
 """
 
 from __future__ import annotations

@@ -20,6 +20,7 @@ from mvropose_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
     replicated,
+    replicate,
     shard_batch,
 )
 
@@ -28,5 +29,6 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "replicate",
     "shard_batch",
 ]

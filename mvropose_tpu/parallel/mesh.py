@@ -67,3 +67,13 @@ def shard_batch(mesh: Mesh, tree):
     """Device-put a host batch pytree with the batch axis sharded on 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree replicated across the mesh.
+
+    Needed after a checkpoint restore: orbax materializes arrays committed to
+    one device, which conflicts with mesh-sharded batches in a jitted step
+    (uncommitted arrays would auto-replicate; restored ones don't)."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -84,3 +84,48 @@ def test_params_npz_roundtrip(tmp_path, rng):
     loaded = load_params_npz(path, state.params)
     for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_restores_on_mesh(tmp_path, rng):
+    """Save from a mesh-sharded training run, restore, continue on the mesh -
+    the trainer-elasticity path (reference had none; a dead rank killed the
+    job)."""
+    from mvropose_tpu.parallel import make_mesh, replicate, shard_batch
+
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=10)
+    model = SingleViewPoseEstimator(TINY)
+    kps = rng.uniform(4, 28, size=(8, 3, 2)).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(8, 64, 64, 3)).astype(np.float32)),
+        "heatmaps": render_heatmaps(jnp.asarray(kps), 32, 32, sigma=2.0),
+        "angles": jnp.asarray(rng.uniform(-1, 1, size=(8, 2)).astype(np.float32)),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    mesh = make_mesh(n_data=8)
+    state = create_train_state(model, variables, cfg)
+    step = make_single_view_train_step(cfg, mesh)
+    with mesh:
+        sharded = shard_batch(mesh, batch)
+        for i in range(2):
+            state, _ = step(state, sharded, jax.random.PRNGKey(i))
+
+        mgr = CheckpointManager(tmp_path / "mesh_ckpt")
+        mgr.save(2, state, CheckpointMeta(epoch=1, best_val_loss=1.0))
+        mgr.wait()
+
+        # Fresh state (as after a restart), restore, keep training.
+        fresh = create_train_state(
+            model, model.init(jax.random.PRNGKey(9), batch["images"][:1]), cfg
+        )
+        restored, meta = mgr.restore(fresh)
+        assert int(restored.step) == 2 and meta.epoch == 1
+        # Orbax restores device-0-committed arrays; re-replicate on the mesh.
+        restored = restored.replace(
+            params=replicate(mesh, restored.params),
+            batch_stats=replicate(mesh, restored.batch_stats),
+            opt_state=replicate(mesh, restored.opt_state),
+            step=replicate(mesh, restored.step),
+        )
+        restored, m = step(restored, sharded, jax.random.PRNGKey(5))
+        assert np.isfinite(float(m["loss"]))
+        mgr.close()
