@@ -374,7 +374,7 @@ def _cmd_train(args) -> int:
     with mesh:
         result = fit(
             state, step, eval_step, train_batches, val_batches, tcfg, args.workdir,
-            metric_writer=writer, on_epoch_end=on_epoch_end,
+            metric_writer=writer, on_epoch_end=on_epoch_end, mesh=mesh,
         )
     print(f"done: best val loss {result.best_val_loss:.6f} over {result.epochs_run} epochs")
     return 0

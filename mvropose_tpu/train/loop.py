@@ -46,6 +46,7 @@ def fit(
     checkpoint_manager: Optional[CheckpointManager] = None,
     metric_writer: Optional[MetricWriter] = None,
     on_epoch_end: Optional[Callable] = None,
+    mesh=None,
 ) -> FitResult:
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -59,6 +60,17 @@ def fit(
         state, meta = restored
         start_epoch = meta.epoch
         best_val = meta.best_val_loss
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            # Orbax restores arrays committed to one device; re-replicate so
+            # the state composes with mesh-sharded batches under jit.
+            from mvropose_tpu.parallel import replicate
+
+            state = state.replace(
+                params=replicate(mesh, state.params),
+                batch_stats=replicate(mesh, state.batch_stats),
+                opt_state=replicate(mesh, state.opt_state),
+                step=replicate(mesh, state.step),
+            )
 
     history = []
     rng = jax.random.PRNGKey(seed)

@@ -201,3 +201,42 @@ def test_fk_consistency_loss_trains(rng):
         fks.append(float(m["loss_fk"]))
     assert np.isfinite(fks).all()
     assert fks[-1] < fks[0] * 0.9, fks[::8]
+
+
+def test_fit_resume_replicates_on_mesh(rng, tmp_path):
+    """fit() resume on a multi-device mesh: restored state must compose with
+    sharded batches (orbax commits restored arrays to one device)."""
+    from mvropose_tpu.parallel import make_mesh, shard_batch
+    from mvropose_tpu.train.loop import fit
+
+    mesh = make_mesh(n_data=8)
+    model = SingleViewPoseEstimator(TINY)
+    batch = make_sv_batch(rng, B=8)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig(num_epochs=2, steps_per_epoch=1)
+    state = create_train_state(model, variables, cfg)
+    step = make_single_view_train_step(cfg, mesh)
+    from mvropose_tpu.train import make_eval_step
+
+    ev = make_eval_step(cfg, multi_view=False, mesh=mesh)
+
+    with mesh:
+        sharded = shard_batch(mesh, batch)
+        mk_train = lambda epoch: iter([sharded])
+        mk_val = lambda: iter([sharded])
+        r1 = fit(state, step, ev, mk_train, mk_val, cfg, tmp_path / "w", mesh=mesh)
+        assert r1.epochs_run == 2
+        # Second fit resumes from the checkpoint (epoch 2 of 2 -> no-op) and
+        # must not crash on device placement.
+        fresh = create_train_state(model, model.init(jax.random.PRNGKey(1), batch["images"][:1]), cfg)
+        r2 = fit(fresh, step, ev, mk_train, mk_val, cfg, tmp_path / "w", mesh=mesh)
+        assert r2.epochs_run == 0
+        assert r2.best_val_loss <= r1.best_val_loss
+
+        # And resuming mid-training continues stepping on the mesh.
+        cfg3 = TrainConfig(num_epochs=3, steps_per_epoch=1)
+        fresh3 = create_train_state(model, model.init(jax.random.PRNGKey(2), batch["images"][:1]), cfg3)
+        step3 = make_single_view_train_step(cfg3, mesh)
+        ev3 = make_eval_step(cfg3, multi_view=False, mesh=mesh)
+        r3 = fit(fresh3, step3, ev3, mk_train, mk_val, cfg3, tmp_path / "w", mesh=mesh)
+        assert r3.epochs_run == 1  # epochs 2 -> 3
