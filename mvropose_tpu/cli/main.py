@@ -591,21 +591,24 @@ def _cmd_serve(args) -> int:
     # i-th source to "{view}_{cam}" calib (the reference undistorts every
     # grabbed frame, DIP_REAL.py:105; here it is one precomputed remap gather
     # fused into the jitted step).
-    remaps = None
+    # Undistortion runs on HOST (cv2.remap): the XLA-gather device remap is
+    # ~300x slower on TPU at camera resolutions (see data/dataset.py).
+    cv2_maps = None
     if args.calib_dir and args.camera_keys:
         from mvropose_tpu.geometry.camera import undistort_map
 
         keys = args.camera_keys.split(",")
         assert len(keys) == args.views, "--camera-keys must list one key per view"
-        grids = []
+        cv2_maps = []
         for key in keys:
             matches = sorted(Path(args.calib_dir).glob(f"{key.split('_')[0]}_*_{key.split('_')[1]}_calib.json"))
             assert matches, f"no calib file for camera key {key}"
             data = json.loads(matches[0].read_text())
             K = jnp.asarray(data["camera_matrix"], jnp.float32)
             dist = jnp.asarray(data["distortion_coeffs"], jnp.float32).reshape(-1)
-            grids.append(undistort_map(K, dist, hw[0], hw[1]))
-        remaps = jnp.stack(grids)
+            grid = np.asarray(undistort_map(K, dist, hw[0], hw[1]))
+            cv2_maps.append((np.ascontiguousarray(grid[1], np.float32),
+                             np.ascontiguousarray(grid[0], np.float32)))
 
     recover = None
     if args.recover_pose:
@@ -628,10 +631,6 @@ def _cmd_serve(args) -> int:
     @jax.jit
     def infer(images_u8, mask):
         imgs = images_u8.astype(jnp.float32) / 255.0
-        if remaps is not None:
-            from mvropose_tpu.geometry.camera import remap_bilinear
-
-            imgs = jax.vmap(remap_bilinear)(imgs, remaps)
         imgs = jax.image.resize(
             imgs, (args.views, args.model_size, args.model_size, 3), "bilinear"
         )
@@ -646,6 +645,13 @@ def _cmd_serve(args) -> int:
         return xy, conf, ang
 
     def infer_np(images, mask):
+        if cv2_maps is not None:
+            import cv2
+
+            images = np.stack([
+                cv2.remap(images[i], cv2_maps[i][0], cv2_maps[i][1], cv2.INTER_LINEAR)
+                for i in range(len(images))
+            ])
         return infer(jnp.asarray(images), jnp.asarray(mask))
 
     pipe = StreamingPipeline(sources, infer_np, frame_hw=hw, max_skew_s=args.max_skew)

@@ -1,11 +1,11 @@
 """Fixed-shape datasets + jit-fused device preprocessing.
 
-Host side (this module's Python classes) does only I/O and bookkeeping:
-decode JPEGs, look up calibration indices, compute GT keypoints via the
-(host-jitted) FK+projection chain. Everything per-pixel - undistortion,
-resize, normalization, GT heatmap rendering - happens ON DEVICE inside one
-jitted preprocessor, replacing the reference's per-sample cv2/numpy work in
-dataloader worker processes (/root/reference/model/MvRoPose_FR3.py:209-225).
+Host side (this module's Python classes) does I/O, bookkeeping and
+full-resolution undistortion (cv2.remap - measured ~300x faster than the
+XLA gather formulation on TPU for 1080p frames; see _RigGeometry.cv2_maps).
+Resize, augmentation, normalization and GT heatmap rendering happen ON
+DEVICE inside one jitted preprocessor, replacing the reference's per-sample
+numpy work in dataloader workers (/root/reference/model/MvRoPose_FR3.py:209-225).
 
 Fixed shapes everywhere:
   * single-view batch: images_u8 (B, H, W, 3), cam_idx (B,), angles (B, A),
@@ -96,6 +96,27 @@ class _RigGeometry:
         ]
         return np.stack(grids)
 
+    @functools.cached_property
+    def cv2_maps(self) -> list:
+        """Per-camera (map_x, map_y) float32 pairs for host cv2.remap.
+
+        MEASURED: the device remap is a 2M-element XLA gather - ~650 ms for
+        4x1080p frames on a v5e (gathers don't vectorize on TPU). cv2.remap
+        on host is ~1-2 ms per frame, so full-resolution undistortion belongs
+        on the host; the device path remains for small images and for
+        fused-everything pipelines."""
+        maps = []
+        for grid in self.remaps:
+            maps.append((np.ascontiguousarray(grid[1], np.float32),
+                         np.ascontiguousarray(grid[0], np.float32)))
+        return maps
+
+    def undistort_host(self, image: np.ndarray, cam_idx: int) -> np.ndarray:
+        import cv2
+
+        mx, my = self.cv2_maps[cam_idx]
+        return cv2.remap(image, mx, my, cv2.INTER_LINEAR)
+
     def gt_keypoints(self, sample: SingleViewSample, extr_key: str | None = None) -> np.ndarray:
         """FK + projection GT keypoints in raw-image pixels (J, 2).
 
@@ -122,7 +143,7 @@ class _RigGeometry:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_size", "heatmap_size", "out_dtype", "augment_cfg"),
+    static_argnames=("model_size", "heatmap_size", "out_dtype", "augment_cfg", "use_remap"),
 )
 def _device_preprocess(
     images_u8: jnp.ndarray,  # (B, H, W, 3) uint8 raw
@@ -135,15 +156,18 @@ def _device_preprocess(
     out_dtype: str = "float32",
     augment_cfg=None,
     rng: jax.Array | None = None,
+    use_remap: bool = True,
 ):
-    """undistort -> resize -> [augment] -> normalize + GT heatmap render,
-    fully on device."""
+    """[undistort ->] resize -> [augment] -> normalize + GT heatmap render on
+    device. use_remap=False when the loader already undistorted on host (the
+    default for full-resolution frames - see _RigGeometry.cv2_maps)."""
     B, H, W, _ = images_u8.shape
 
     def per_image(img, ci):
         f = img.astype(jnp.float32) / 255.0
-        und = remap_bilinear(f, remaps[ci])
-        return jax.image.resize(und, (model_size, model_size, 3), method="bilinear")
+        if use_remap:
+            f = remap_bilinear(f, remaps[ci])
+        return jax.image.resize(f, (model_size, model_size, 3), method="bilinear")
 
     out = jax.vmap(per_image)(images_u8, cam_idx)
     if augment_cfg is not None and rng is not None:
@@ -166,6 +190,7 @@ def make_device_preprocessor(
     sigma: float,
     out_dtype: str = "float32",
     augment_cfg=None,
+    undistort_on_device: bool = False,
 ):
     """Bind static tables; returns f(images_u8, cam_idx, keypoints_2d,
     rng=None) -> (model_images, gt_heatmaps). Works on (B, ...) and
@@ -183,6 +208,7 @@ def make_device_preprocessor(
         out, hms = _device_preprocess(
             imgs, cidx, kps, remaps, sigma, model_size, heatmap_size, out_dtype,
             augment_cfg if rng is not None else None, rng,
+            use_remap=undistort_on_device,
         )
         out = out.reshape(*lead, model_size, model_size, 3)
         hms = hms.reshape(*lead, *hms.shape[-3:])
@@ -205,11 +231,13 @@ class SingleViewDataset:
         image_hw: tuple[int, int],
         extr_key_fn=None,  # sample -> extrinsic key (multi-pose rigs)
         with_extrinsics: bool = False,
+        undistort_on_host: bool = True,
     ):
         self.samples = list(samples)
         self.geometry = _RigGeometry(rig, image_hw)
         self.extr_key_fn = extr_key_fn
         self.with_extrinsics = with_extrinsics
+        self.undistort_on_host = undistort_on_host
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -260,8 +288,11 @@ class SingleViewDataset:
                     )
                 if img.shape[:2] != (H, W):
                     continue
+                ci = self.geometry.key_to_idx[s.camera_key]
+                if self.undistort_on_host and s.roi is None:
+                    img = self.geometry.undistort_host(img, ci)
                 images[slot] = img
-                cam_idx[slot] = self.geometry.key_to_idx[s.camera_key]
+                cam_idx[slot] = ci
                 angles[slot] = s.angles
                 kpts[slot] = kp
                 weight[slot] = 1.0
@@ -299,6 +330,7 @@ class MultiViewDataset:
         pose_from_path=None,  # path -> pose name prefix for extrinsics
         angles_transform=None,  # raw group angles -> model angle vector
         with_extrinsics: bool = False,
+        undistort_on_host: bool = True,
     ):
         self.groups = list(groups)
         self.geometry = _RigGeometry(rig, image_hw)
@@ -306,6 +338,7 @@ class MultiViewDataset:
         self.pose_from_path = pose_from_path
         self.angles_transform = angles_transform
         self.with_extrinsics = with_extrinsics
+        self.undistort_on_host = undistort_on_host
 
     def __len__(self) -> int:
         return len(self.groups)
@@ -365,6 +398,10 @@ class MultiViewDataset:
                     sample = SingleViewSample(
                         image_path=path, camera_key=ckey, view=view, angles=angles[slot]
                     )
+                    if self.undistort_on_host:
+                        img = self.geometry.undistort_host(
+                            img, self.geometry.key_to_idx[ckey]
+                        )
                     images[slot, v] = img
                     view_ids[slot, v] = rig.view_index(serial, cam)
                     cam_idx[slot, v] = self.geometry.key_to_idx[ckey]

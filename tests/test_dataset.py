@@ -253,3 +253,48 @@ def test_grain_loader_batches(tmp_path, rig):
     a1 = set(np.concatenate([s["angles"][:, 0] for s in sh1]).tolist())
     assert a0.isdisjoint(a1)
     assert len(a0 | a1) == 8
+
+
+def test_host_vs_device_undistortion_parity(tmp_path):
+    """Host cv2.remap and the device gather remap agree on a distorted rig."""
+    import cv2
+
+    robot = get_robot("meca500")
+    Kd = np.array([[70.0, 0, 40.0], [0, 70.0, 30.0], [0, 0, 1.0]])
+    dist = np.array([-0.05, 0.02, 0.001, 0.001, 0.0])
+    rig_d = RigSpec(
+        name="dist", robot=robot, serial_to_view={"41182735": "front"},
+        calibs={"front_leftcam": CameraCalib(Kd, dist)},
+        extrinsics={"front_leftcam": CameraExtrinsic(np.array([np.pi, 0, 0.0]), np.array([0, 0.1, 0.8]))},
+        heatmap_size=(32, 32), sigma=2.0,
+    )
+    p = tmp_path / "zed_41182735_left_8000.0.jpg"
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(H, W, 3)).astype(np.uint8)
+    cv2.imwrite(str(p), cv2.GaussianBlur(img, (7, 7), 3))  # smooth => small interp diffs
+    s = SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=np.array([0.0, -30, 30, 0, 0, 0], np.float32),
+    )
+
+    ds_host = SingleViewDataset([s], rig_d, (H, W), undistort_on_host=True)
+    ds_dev = SingleViewDataset([s], rig_d, (H, W), undistort_on_host=False)
+    b_host = next(ds_host.batches(1))
+    b_dev = next(ds_dev.batches(1))
+    pre_host = make_device_preprocessor(ds_host.geometry, 64, (32, 32), 2.0)
+    pre_dev = make_device_preprocessor(
+        ds_dev.geometry, 64, (32, 32), 2.0, undistort_on_device=True
+    )
+    out_h, hm_h = pre_host(
+        jnp.asarray(b_host["images_u8"]), jnp.asarray(b_host["cam_idx"]),
+        jnp.asarray(b_host["keypoints_2d"]),
+    )
+    out_d, hm_d = pre_dev(
+        jnp.asarray(b_dev["images_u8"]), jnp.asarray(b_dev["cam_idx"]),
+        jnp.asarray(b_dev["keypoints_2d"]),
+    )
+    # Interpolation-order differences only (both bilinear, different order of
+    # remap+resize rounding); compare away from the border.
+    diff = np.abs(np.asarray(out_h) - np.asarray(out_d))[:, 4:-4, 4:-4]
+    assert np.median(diff) < 0.02, float(np.median(diff))
+    np.testing.assert_array_equal(np.asarray(hm_h), np.asarray(hm_d))
