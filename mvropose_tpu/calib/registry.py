@@ -61,6 +61,14 @@ class RigSpec:
     heatmap_size: Tuple[int, int] = (128, 128)
     sigma: float = 5.0
     max_views: int = 8
+    # Keypoint count override for rigs whose GT keypoints are NOT the FK
+    # chain (DREAM stores 7 named link keypoints while the panda chain has 8
+    # FK points; reference DREAM_Train.py:49,52).
+    num_keypoints_override: int | None = None
+
+    @property
+    def num_keypoints(self) -> int:
+        return self.num_keypoints_override or self.robot.n_keypoints
 
     # Static view index table (replaces the reference's stateful view_to_idx
     # registry, MvRoPose_FR3.py:594-598): serial+cam -> embedding index.
@@ -79,6 +87,40 @@ def _load_extrinsic_record(rec: Mapping, rvec_unit: str) -> CameraExtrinsic:
         rvec = np.deg2rad(rvec)
     tvec = np.array([rec["tvec_x"], rec["tvec_y"], rec["tvec_z"]], dtype=np.float64)
     return CameraExtrinsic(rvec=rvec, tvec=tvec)
+
+
+def load_dream_rig(
+    base_paths,
+    heatmap_size: Tuple[int, int] = (128, 128),
+    sigma: float = 3.0,
+) -> RigSpec:
+    """Rig for the DREAM-real subsets: one camera per subset directory,
+    intrinsics from each `_camera_settings.json` (reference
+    DREAM_Train.py:79-96), zero distortion, no extrinsics (keypoints are
+    stored in the dataset)."""
+    from mvropose_tpu.calib.zed_conf import load_dream_camera_settings
+
+    calibs: Dict[str, CameraCalib] = {}
+    serial_to_view: Dict[str, str] = {}
+    for i, base in enumerate([Path(p) for p in base_paths]):
+        settings = base / "_camera_settings.json"
+        if not settings.exists():
+            continue
+        intr = load_dream_camera_settings(settings)
+        view = base.name  # e.g. panda-3cam_azure
+        calibs[f"{view}_leftcam"] = CameraCalib(intr.camera_matrix, intr.distortion_coeffs)
+        serial_to_view[f"{i:08d}"] = view
+    return RigSpec(
+        name="dream",
+        robot=get_robot("dream_panda"),
+        serial_to_view=serial_to_view,
+        calibs=calibs,
+        extrinsics={},
+        heatmap_size=heatmap_size,
+        sigma=sigma,
+        max_views=1,
+        num_keypoints_override=7,  # DREAM's 7 named link keypoints
+    )
 
 
 def load_rig(

@@ -50,6 +50,23 @@ def load_zed_intrinsics(conf_path: str | Path, side: str, resolution: str = "FHD
     return Intrinsics(K, dist)
 
 
+def load_dream_camera_settings(path: str | Path) -> Intrinsics:
+    """Parse a DREAM dataset `_camera_settings.json` into Intrinsics.
+
+    The reference reads fx/fy/cx/cy from
+    camera_settings[0].intrinsic_settings and uses zero distortion
+    (/root/reference/model/DREAM_Train.py:86-94).
+    """
+    import json
+
+    data = json.loads(Path(path).read_text())
+    intr = data["camera_settings"][0]["intrinsic_settings"]
+    K = np.array(
+        [[intr["fx"], 0.0, intr["cx"]], [0.0, intr["fy"], intr["cy"]], [0.0, 0.0, 1.0]]
+    )
+    return Intrinsics(K, np.zeros(5))
+
+
 def load_stereo_params(conf_path: str | Path, resolution: str = "FHD1200") -> dict:
     """Parse the [STEREO] left->right transform (baseline in mm, rotations in
     radians), per the reference's Meca-insertion stage 3

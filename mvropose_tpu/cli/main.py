@@ -200,8 +200,12 @@ def _load_rig_from_args(args):
         FR3_SERIAL_TO_VIEW,
         FR5_SERIAL_TO_VIEW,
         MECA_INSERTION_SERIAL_TO_VIEW,
+        load_dream_rig,
         load_rig,
     )
+
+    if args.robot == "dream" and getattr(args, "dream_dirs", None):
+        return load_dream_rig(args.dream_dirs, sigma=args.sigma)
 
     serial_maps = {
         "fr5": FR5_SERIAL_TO_VIEW,
@@ -278,7 +282,7 @@ def _cmd_train(args) -> int:
         hidden_size=args.hidden_size, num_layers=args.num_layers,
         num_heads=args.hidden_size // 64, dtype="bfloat16",
     )
-    n_kp = rig.robot.n_keypoints
+    n_kp = rig.num_keypoints
     cfg = EstimatorConfig(
         vit=vit, num_joints=n_kp, num_angles=rig.robot.n_joints,
         heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
@@ -419,7 +423,7 @@ def _cmd_eval(args) -> int:
         num_layers=args.num_layers, num_heads=args.hidden_size // 64, dtype="bfloat16",
     )
     cfg = EstimatorConfig(
-        vit=vit, num_joints=rig.robot.n_keypoints, num_angles=rig.robot.n_joints,
+        vit=vit, num_joints=rig.num_keypoints, num_angles=rig.robot.n_joints,
         heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
     )
     model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
@@ -819,6 +823,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--csv", nargs="+", required=True)
     pt.add_argument("--calib-dir", default=None)
     pt.add_argument("--aruco-summary", nargs="*", default=None)
+    pt.add_argument("--dream-dirs", nargs="*", default=None,
+                    help="DREAM subset dirs with _camera_settings.json (robot=dream)")
     pt.add_argument("--workdir", default="runs/default")
     pt.add_argument("--image-hw", type=int, nargs=2, default=[1080, 1920])
     pt.add_argument("--model-size", type=int, default=224)
@@ -846,6 +852,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--params", required=True, help="best_params.npz")
     pe.add_argument("--calib-dir", default=None)
     pe.add_argument("--aruco-summary", nargs="*", default=None)
+    pe.add_argument("--dream-dirs", nargs="*", default=None,
+                    help="DREAM subset dirs with _camera_settings.json (robot=dream)")
     pe.add_argument("--image-hw", type=int, nargs=2, default=[1080, 1920])
     pe.add_argument("--model-size", type=int, default=224)
     pe.add_argument("--hidden-size", type=int, default=768)
@@ -864,6 +872,8 @@ def build_parser() -> argparse.ArgumentParser:
     pz.add_argument("--csv", nargs="+", required=True)
     pz.add_argument("--calib-dir", default=None)
     pz.add_argument("--aruco-summary", nargs="*", default=None)
+    pz.add_argument("--dream-dirs", nargs="*", default=None,
+                    help="DREAM subset dirs with _camera_settings.json (robot=dream)")
     pz.add_argument("--image-hw", type=int, nargs=2, default=[1080, 1920])
     pz.add_argument("--out-dir", required=True)
     pz.add_argument("--num-samples", type=int, default=6)

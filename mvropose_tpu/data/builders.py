@@ -82,18 +82,31 @@ def build_meca500_single_view(
 def build_dream_single_view(
     df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (480, 640)
 ) -> SingleViewDataset:
-    """DREAM: stored 2D keypoints (no FK needed), one camera per subset dir."""
+    """DREAM: stored 2D keypoints (no FK needed), one camera per subset dir.
+
+    Each sample binds to the calib of the subset directory containing it
+    (camera keys '{subset}_leftcam' from calib.registry.load_dream_rig);
+    with a single-calib rig every sample uses that calib (reference
+    DREAM_Train.py:103-107 does the same prefix matching)."""
     samples = []
-    ckey = next(iter(rig.calibs))
-    view = ckey.split("_")[0]
+    keys = sorted(rig.calibs)
+    default_key = keys[0]
     for _, row in df.iterrows():
+        path = str(row["image_path"])
+        ckey = default_key
+        for k in keys:
+            view_name = k.rsplit("_", 1)[0]
+            if f"/{view_name}/" in path or f"/{view_name}_" in path or view_name in Path(path).parts:
+                ckey = k
+                break
+        view = ckey.rsplit("_", 1)[0]
         kps = np.asarray(
             [[row[f"kpt_{n}_proj_x"], row[f"kpt_{n}_proj_y"]] for n in DREAM_KEYPOINT_NAMES],
             np.float32,
         )
         samples.append(
             SingleViewSample(
-                image_path=row["image_path"],
+                image_path=path,
                 camera_key=ckey,
                 view=view,
                 angles=np.asarray([row[f"joint_{i}"] for i in range(1, 8)], np.float32),

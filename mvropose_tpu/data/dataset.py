@@ -251,7 +251,7 @@ class SingleViewDataset:
             np.random.default_rng(seed).shuffle(order)
         H, W = self.geometry.image_hw
         rig = self.geometry.rig
-        J = rig.robot.n_keypoints
+        J = rig.num_keypoints
         A = rig.robot.n_joints
         for start in range(0, n, batch_size):
             idxs = order[start : start + batch_size]
@@ -353,7 +353,7 @@ class MultiViewDataset:
         H, W = self.geometry.image_hw
         rig = self.geometry.rig
         V = self.max_views
-        J = rig.robot.n_keypoints
+        J = rig.num_keypoints
         A = rig.robot.n_joints
         for start in range(0, n, batch_size):
             idxs = order[start : start + batch_size]

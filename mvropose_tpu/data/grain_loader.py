@@ -35,7 +35,7 @@ class _SampleMap:
         H, W = self.geometry.image_hw
         s = self.samples[idx]
         rig = self.geometry.rig
-        J = rig.robot.n_keypoints
+        J = rig.num_keypoints
         out = {
             "images_u8": np.zeros((H, W, 3), np.uint8),
             "cam_idx": np.int32(0),

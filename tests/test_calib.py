@@ -218,3 +218,32 @@ def test_solve_marker_pose_from_corners():
     out = solve_marker_pose_from_corners(corners.reshape(4, 2), size, K)
     assert out["reproj_error_px"] < 0.5
     np.testing.assert_allclose(out["tvec"], tvec_gt, atol=2e-3)
+
+
+def test_load_dream_camera_settings(tmp_path):
+    (tmp_path / "_camera_settings.json").write_text(json.dumps({
+        "camera_settings": [{
+            "intrinsic_settings": {"fx": 615.5, "fy": 615.5, "cx": 320.0, "cy": 240.0}
+        }]
+    }))
+    from mvropose_tpu.calib import load_dream_camera_settings
+
+    intr = load_dream_camera_settings(tmp_path / "_camera_settings.json")
+    assert intr.camera_matrix[0, 0] == 615.5
+    assert intr.camera_matrix[1, 2] == 240.0
+    np.testing.assert_array_equal(intr.distortion_coeffs, np.zeros(5))
+
+
+def test_load_dream_rig(tmp_path):
+    from mvropose_tpu.calib import load_dream_rig
+
+    for name, fx in (("panda-3cam_azure", 600.0), ("panda-orb", 500.0)):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "_camera_settings.json").write_text(json.dumps({
+            "camera_settings": [{"intrinsic_settings": {"fx": fx, "fy": fx, "cx": 320, "cy": 240}}]
+        }))
+    rig = load_dream_rig([tmp_path / "panda-3cam_azure", tmp_path / "panda-orb"])
+    assert rig.calibs["panda-3cam_azure_leftcam"].camera_matrix[0, 0] == 600.0
+    assert rig.calibs["panda-orb_leftcam"].camera_matrix[0, 0] == 500.0
+    assert rig.robot.name == "dream_panda"

@@ -316,3 +316,46 @@ def test_cli_serve_with_pose_recovery():
         ]
     )
     assert rc == 0
+
+
+def test_cli_dream_train(tmp_path):
+    """DREAM family end to end: _camera_settings intrinsics + stored 2D
+    keypoints through the train CLI."""
+    import cv2
+
+    base = tmp_path / "panda-3cam_azure"
+    base.mkdir()
+    (base / "_camera_settings.json").write_text(json.dumps({
+        "camera_settings": [{"intrinsic_settings": {"fx": 70.0, "fy": 70.0, "cx": 40.0, "cy": 30.0}}]
+    }))
+    kp_names = ["panda_link0", "panda_link2", "panda_link3", "panda_link4",
+                "panda_link6", "panda_link7", "panda_hand"]
+    rng = np.random.default_rng(4)
+    for i in range(4):
+        data = {
+            "sim_state": {"joints": [
+                {"name": f"panda_joint{j}", "position": 0.1 * j + 0.05 * i} for j in range(1, 8)
+            ]},
+            "objects": [{"keypoints": [
+                {"name": n, "location": [0.1 * k, 0.2, 0.5],
+                 "projected_location": [10.0 + 8 * k, 15.0 + 4 * k]}
+                for k, n in enumerate(kp_names)
+            ]}],
+        }
+        (base / f"{i:04d}.json").write_text(json.dumps(data))
+        cv2.imwrite(str(base / f"{i:04d}.rgb.jpg"), rng.integers(0, 255, (60, 80, 3)).astype(np.uint8))
+
+    csv = tmp_path / "dream.csv"
+    assert main(["sync", "dream", "--base-dirs", str(base), "--out", str(csv)]) == 0
+
+    workdir = tmp_path / "run"
+    rc = main([
+        "train", "--robot", "dream", "--csv", str(csv),
+        "--dream-dirs", str(base), "--workdir", str(workdir),
+        "--image-hw", "60", "80", "--model-size", "64",
+        "--hidden-size", "64", "--num-layers", "1",
+        "--batch-size", "2", "--epochs", "1", "--val-split", "0.5", "--no-augment",
+    ])
+    assert rc == 0
+    rec = json.loads((workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["val_loss"])
