@@ -113,3 +113,20 @@ def test_project_points_differentiable():
 
     g = jax.grad(loss)(jnp.asarray([0.1, 0.2, 0.3], jnp.float32))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_project_points_behind_camera_finite():
+    """Points behind the camera produce finite (if meaningless) pixels - the
+    serve path must never NaN-poison downstream PnP weights."""
+    pts = jnp.asarray([[0.0, 0.0, -1.0], [0.1, 0.1, -2.0]], jnp.float32)
+    out = np.asarray(
+        cam.project_points(pts, jnp.zeros(3), jnp.zeros(3), jnp.asarray(K, jnp.float32), None)
+    )
+    assert np.isfinite(out).all()
+
+
+def test_undistort_map_zero_distortion_identity():
+    remap = cam.undistort_map(jnp.asarray(K, jnp.float32), jnp.zeros(5), 32, 40)
+    grid_y, grid_x = np.meshgrid(np.arange(32), np.arange(40), indexing="ij")
+    np.testing.assert_allclose(np.asarray(remap[0]), grid_y, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(remap[1]), grid_x, atol=1e-3)

@@ -115,3 +115,18 @@ def test_fk_differentiable():
     g = jax.grad(loss)(jnp.ones(7) * 0.3)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_fk_angle_unit_consistency():
+    """The same physical pose expressed in each spec's native unit matches a
+    manual radian evaluation (degrees-vs-radians trap guard)."""
+    deg = np.array([30.0, -45.0, 60.0, 0.0, 90.0, 0.0])
+    out_meca = np.asarray(forward_kinematics(MECA500, jnp.asarray(deg, jnp.float32)))
+    # Same table evaluated as a radian-unit spec with pre-converted angles.
+    import dataclasses
+
+    meca_rad = dataclasses.replace(MECA500, name="meca_rad", angle_unit="rad")
+    out_rad = np.asarray(
+        forward_kinematics(meca_rad, jnp.asarray(np.deg2rad(deg), jnp.float32))
+    )
+    np.testing.assert_allclose(out_meca, out_rad, atol=1e-5)

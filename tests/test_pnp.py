@@ -167,3 +167,36 @@ def test_triangulation_view_mask(rng):
         )
     )
     np.testing.assert_allclose(got, obj, atol=1e-3)
+
+
+def test_solve_pnp_planar_four_points(rng):
+    """Minimal planar case (4 coplanar points, e.g. an ArUco marker)."""
+    h = 0.025
+    obj = np.array([[-h, h, 0], [h, h, 0], [h, -h, 0], [-h, -h, 0]], dtype=np.float64)
+    rvec_gt = np.array([0.25, -0.15, 0.05])
+    tvec_gt = np.array([0.02, -0.03, 0.5])
+    img, _ = cv2.projectPoints(obj, rvec_gt, tvec_gt, K, np.zeros(5))
+    rvec, tvec, cost = pnp.solve_pnp(
+        jnp.asarray(obj, jnp.float32), jnp.asarray(img.reshape(-1, 2), jnp.float32),
+        jnp.asarray(K, jnp.float32),
+    )
+    ang, trans = pose_errors(rvec, tvec, rvec_gt, tvec_gt)
+    assert float(cost) < 1e-2
+    assert trans < 5e-3
+
+
+def test_refine_lm_respects_zero_weights(rng):
+    """Zero-weight points must not influence the refined pose."""
+    obj, img, rvec_gt, tvec_gt = make_scene(rng)
+    img_bad = img.copy()
+    img_bad[0] += [500, 500]  # corrupted but weight 0
+    w = np.ones(len(obj), np.float32)
+    w[0] = 0.0
+    rvec, tvec, cost = pnp.refine_pnp_lm(
+        jnp.asarray(obj, jnp.float32), jnp.asarray(img_bad, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+        jnp.asarray(rvec_gt + 0.05, jnp.float32), jnp.asarray(tvec_gt + 0.02, jnp.float32),
+        weights=jnp.asarray(w), iters=25,
+    )
+    ang, trans = pose_errors(rvec, tvec, rvec_gt, tvec_gt)
+    assert ang < 0.2 and trans < 5e-3
