@@ -217,11 +217,15 @@ def _load_rig_from_args(args):
     robot = {"meca_insertion": "meca500", "dream": "dream_panda"}.get(args.robot, args.robot)
     aruco = None
     if args.aruco_summary:
-        paths = [Path(p) for p in args.aruco_summary]
-        if len(paths) == 1:
-            aruco = paths[0]
-        else:
-            aruco = {p.stem.split("_")[0]: p for p in paths}  # pose1_... -> pose1
+        import re
+
+        # A summary named pose<N>_... keys its extrinsics with that pose
+        # prefix (FR3's pose1/pose2 convention); other names are unprefixed.
+        aruco = {}
+        for p in (Path(p) for p in args.aruco_summary):
+            tok = p.stem.split("_")[0]
+            prefix = tok if re.fullmatch(r"pose\d+", tok) else ""
+            aruco[prefix] = p
     return load_rig(
         args.robot,
         robot,
@@ -270,8 +274,8 @@ def _cmd_train(args) -> int:
         ds = builders.build_meca_insertion_single_view(df, rig, image_hw)
     elif multi_view:
         ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
-    else:
-        raise SystemExit(f"no builder for robot {args.robot}")
+    else:  # fr3 --single-view
+        ds = builders.build_fr3_single_view(df, rig, image_hw)
     if args.fk_loss_weight > 0 and hasattr(ds, "with_extrinsics"):
         ds.with_extrinsics = True
     train_ds, val_ds = builders.train_val_split(ds, args.val_split)
@@ -415,8 +419,10 @@ def _cmd_eval(args) -> int:
         ds = builders.build_meca500_single_view(df, rig, image_hw)
     elif args.robot == "meca_insertion":
         ds = builders.build_meca_insertion_single_view(df, rig, image_hw)
-    else:
+    elif multi_view:
         ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
+    else:  # fr3 --single-view
+        ds = builders.build_fr3_single_view(df, rig, image_hw)
 
     vit = ViTConfig(
         image_size=args.model_size, patch_size=16, hidden_size=args.hidden_size,

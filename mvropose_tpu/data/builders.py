@@ -171,6 +171,44 @@ def build_fr5_roi_single_view(
     return SingleViewDataset(samples, rig, image_hw)
 
 
+def build_fr3_single_view(
+    df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (1200, 1920)
+) -> SingleViewDataset:
+    """FR3 single-view (the reference's Franka_research3_model_train path):
+    each synced row is one sample; extrinsics resolve per pose from the image
+    path (pose1/pose2), angles are radians from the ROS2 YAML columns."""
+    angle_cols = sorted(
+        (c for c in df.columns if c.startswith("position_fr3_joint")),
+        key=lambda c: int(c.rsplit("joint", 1)[1]),
+    )
+    samples = []
+    for _, row in df.iterrows():
+        svc = _serial_view_from_path(row["image_path"], rig)
+        if svc is None:
+            continue
+        serial, cam, view = svc
+        ckey = f"{view}_{cam}"
+        pose = next((p for p in ("pose1", "pose2") if p in str(row["image_path"])), None)
+        ekey = f"{pose}_{ckey}" if pose and f"{pose}_{ckey}" in rig.extrinsics else ckey
+        if ckey not in rig.calibs or ekey not in rig.extrinsics:
+            continue
+        samples.append(
+            SingleViewSample(
+                image_path=row["image_path"],
+                camera_key=ckey,
+                view=view,
+                angles=np.asarray([row[c] for c in angle_cols], np.float32),
+            )
+        )
+
+    def extr_key_fn(s: SingleViewSample) -> str:
+        pose = next((p for p in ("pose1", "pose2") if p in s.image_path), None)
+        key = f"{pose}_{s.camera_key}" if pose else s.camera_key
+        return key if key in rig.extrinsics else s.camera_key
+
+    return SingleViewDataset(samples, rig, image_hw, extr_key_fn=extr_key_fn)
+
+
 def build_fr3_multi_view(
     df: pd.DataFrame,
     rig: RigSpec,

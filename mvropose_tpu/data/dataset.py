@@ -394,7 +394,10 @@ class MultiViewDataset:
                     pose = self.pose_from_path(path) if self.pose_from_path else None
                     ekey = f"{pose}_{ckey}" if pose else ckey
                     if ekey not in rig.extrinsics:
-                        continue
+                        if ckey in rig.extrinsics:
+                            ekey = ckey  # unprefixed summary fallback
+                        else:
+                            continue
                     sample = SingleViewSample(
                         image_path=path, camera_key=ckey, view=view, angles=angles[slot]
                     )

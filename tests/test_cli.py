@@ -359,3 +359,50 @@ def test_cli_dream_train(tmp_path):
     assert rc == 0
     rec = json.loads((workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()[-1])
     assert np.isfinite(rec["val_loss"])
+
+
+def test_cli_fr3_single_view_train(tmp_path):
+    """FR3 --single-view (reference Franka notebook path) trains end to end."""
+    import cv2
+
+    jdir = tmp_path / "joints"
+    jdir.mkdir()
+    docs = []
+    for i in range(4):
+        names = ", ".join(f"fr3_joint{j}" for j in range(1, 8))
+        pos = ", ".join(str(0.1 * j + 0.02 * i) for j in range(1, 8))
+        docs.append(
+            f"header:\n  stamp:\n    sec: {1000 + i}\n    nanosec: 0\n"
+            f"name: [{names}]\nposition: [{pos}]\n"
+        )
+    (jdir / "joint_states_0.yaml").write_text("---\n".join(docs))
+    img_dir = tmp_path / "pose1"
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        p = img_dir / f"zed_41182735_left_{1000 + i}.0.jpg"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(p), rng.integers(0, 255, size=(60, 80, 3)).astype(np.uint8))
+    csv = tmp_path / "fr3.csv"
+    assert main(["sync", "fr3", "--base-dirs", str(img_dir), "--joint-dir", str(jdir),
+                 "--out", str(csv), "--tolerance", "0.05"]) == 0
+
+    conf = tmp_path / "SN.conf"
+    conf.write_text(CONF_TEXT)
+    calib_dir = tmp_path / "calib"
+    main(["calibrate", "intrinsics", "--conf", str(conf), "--serial", "41182735",
+          "--view", "view1", "--resolution", "FHD", "--out-dir", str(calib_dir)])
+    summary = tmp_path / "pose1_aruco_pose_summary.json"
+    main(["calibrate", "manual", "--view", "view1", "--cam", "leftcam",
+          "--tvec", "0", "0", "1.2", "--rvec-deg", "3.14159", "0", "0", "--out", str(summary)])
+
+    workdir = tmp_path / "run_sv"
+    rc = main([
+        "train", "--robot", "fr3", "--single-view", "--csv", str(csv),
+        "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+        "--workdir", str(workdir), "--image-hw", "60", "80",
+        "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+        "--batch-size", "2", "--epochs", "1", "--val-split", "0.5", "--no-augment",
+    ])
+    assert rc == 0
+    rec = json.loads((workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["val_loss"])
