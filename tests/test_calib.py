@@ -158,6 +158,48 @@ def test_stereo_right_from_left():
     np.testing.assert_allclose(tvec_r, [0.1 - 0.120, 0.2, 1.5], atol=1e-6)
 
 
+def _reference_stereo_transfer(rvec_l, tvec_l, stereo):
+    """Verbatim scipy/numpy transcription of the reference stage-3 math
+    (Meca_insertion_preprocessing.py:327-346), used as the golden oracle."""
+    import cv2
+
+    R_marker_in_left, _ = cv2.Rodrigues(np.asarray(rvec_l, np.float64))
+    T_marker_to_left = np.eye(4)
+    T_marker_to_left[:3, :3], T_marker_to_left[:3, 3] = R_marker_in_left, tvec_l
+    t_right_in_left = np.array(
+        [p / 1000.0 for p in [stereo["baseline"], stereo["ty"], stereo["tz"]]]
+    )
+    R_right_in_left = R.from_euler(
+        "zyx", [stereo["rz"], stereo["ry"], stereo["rx"]]
+    ).as_matrix()
+    T_right_to_left = np.eye(4)
+    T_right_to_left[:3, :3], T_right_to_left[:3, 3] = R_right_in_left, t_right_in_left
+    T_left_to_right = np.linalg.inv(T_right_to_left)
+    T_marker_to_right = T_left_to_right @ T_marker_to_left
+    rvec_r, _ = cv2.Rodrigues(T_marker_to_right[:3, :3])
+    return rvec_r.ravel(), T_marker_to_right[:3, 3]
+
+
+def test_stereo_right_from_left_matches_reference_math():
+    """Golden parity: nonzero factory rotations + ty/tz, a rotated left pose,
+    and the reference's manual correction offset."""
+    stereo = {
+        "baseline": 119.91,
+        "ty": -0.285,
+        "tz": 0.52,
+        "rx": 0.0038,
+        "ry": -0.0021,
+        "rz": 0.0009,
+    }
+    rvec_l = np.array([0.21, -1.37, 0.08])
+    tvec_l = np.array([-0.32, 0.11, 1.84])
+    ref_r, ref_t = _reference_stereo_transfer(rvec_l, tvec_l, stereo)
+    offset = np.array([-0.025, 0.0, 0.0])  # RIGHT_CAM_CORRECTION_OFFSET
+    got_r, got_t = stereo_right_from_left(rvec_l, tvec_l, stereo, correction_offset=offset)
+    np.testing.assert_allclose(got_t, ref_t + offset, atol=1e-9)
+    np.testing.assert_allclose(got_r, ref_r, atol=1e-5)  # f32 Rodrigues round-trip
+
+
 def test_load_rig_units(tmp_path):
     """FR5 rig: rvec stored in degrees must come out radians."""
     calib_dir = tmp_path / "calib"
@@ -210,8 +252,9 @@ def test_solve_marker_pose_from_corners():
 
     K = np.array([[700.0, 0, 640], [0, 700.0, 360], [0, 0, 1]])
     size = 0.05
-    h = size / 2
-    obj = np.array([[-h, h, 0], [h, h, 0], [h, -h, 0], [-h, -h, 0]])
+    # Reference top-left-origin object points
+    # (Meca_insertion_preprocessing.py:211-213).
+    obj = np.array([[0, 0, 0], [size, 0, 0], [size, size, 0], [0, size, 0]], float)
     rvec_gt = np.array([0.3, -0.2, 0.1])
     tvec_gt = np.array([0.05, -0.02, 0.6])
     corners, _ = cv2.projectPoints(obj, rvec_gt, tvec_gt, K, np.zeros(5))

@@ -251,6 +251,19 @@ def test_cli_fr3_multiview_train(tmp_path):
     ])
     assert rc == 0
 
+    # --- FR3 multi-view GT group panels (reference
+    # visualize_samples_by_group_size) ---
+    viz_dir = tmp_path / "viz_mv"
+    rc = main([
+        "visualize", "--robot", "fr3", "--multi-view", "--csv", str(csv),
+        "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+        "--image-hw", "60", "80", "--out-dir", str(viz_dir),
+        "--num-samples", "2", "--tolerance", "0.05",
+    ])
+    assert rc == 0
+    panels = list(viz_dir.glob("group*view_*.png"))
+    assert panels, "no multi-view group panels written"
+
 
 def test_cli_visualize(tmp_path):
     import cv2
@@ -307,12 +320,130 @@ def test_cli_stereo_transfer(tmp_path):
     assert right["derived_from"] == "stereo_baseline"
 
 
+def test_cli_meca_insertion_corner_pipeline(tmp_path):
+    """All three Meca-insertion calibration stages end to end from raw corner
+    JSONs (reference Meca_insertion_preprocessing.py): stage-1 averaging,
+    stage-2 corner PnP re-solve, stage-3 offsets -> summary, then rightcam
+    via stereo-transfer --correction-offset."""
+    import cv2
+    from scipy.spatial.transform import Rotation as R
+
+    K = np.array([[700.0, 0, 640], [0, 700.0, 360], [0, 0, 1]])
+    size = 0.05
+    obj = np.array([[0, 0, 0], [size, 0, 0], [size, size, 0], [0, size, 0]], float)
+    rvec_gt = np.array([0.2, -0.1, 0.05])
+    tvec_gt = np.array([0.05, -0.02, 0.8])
+    corners, _ = cv2.projectPoints(obj, rvec_gt, tvec_gt, K, np.zeros(5))
+    corners = corners.reshape(4, 2)
+    q = R.from_rotvec(rvec_gt).as_quat()
+
+    rng = np.random.default_rng(0)
+    aruco_dir = tmp_path / "aruco"
+    aruco_dir.mkdir()
+    for i in range(3):  # one capture JSON per frame; noise within the 1 mm gate
+        t = tvec_gt + rng.normal(0, 2e-4, 3)
+        det = {
+            "position_m": dict(zip("xyz", (float(v) for v in t))),
+            "rotation_quat": dict(zip("xyzw", (float(v) for v in q))),
+            "corners_pixel": (corners + rng.normal(0, 0.2, corners.shape)).tolist(),
+        }
+        (aruco_dir / f"front_0_leftcam_{i}.json").write_text(json.dumps({"5": det}))
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    (calib_dir / "front_41182735_leftcam_calib.json").write_text(json.dumps({
+        "camera_matrix": K.tolist(), "distortion_coeffs": [0.0] * 5,
+    }))
+    smap = tmp_path / "serials.json"
+    smap.write_text(json.dumps({"front": "41182735"}))
+    offsets = tmp_path / "offsets.json"
+    offsets.write_text(json.dumps({"front": {"5": [0.0, 0.0, 0.0]}}))
+    summary = tmp_path / "summary.json"
+    rc = main(["calibrate", "corners", "--aruco-dir", str(aruco_dir),
+               "--calib-dir", str(calib_dir), "--serial-map", str(smap),
+               "--offsets", str(offsets), "--marker-size", str(size),
+               "--out", str(summary)])
+    assert rc == 0
+    records = json.loads(summary.read_text())
+    left = [r for r in records if r["cam"] == "leftcam"][0]
+    np.testing.assert_allclose(
+        [left["tvec_x"], left["tvec_y"], left["tvec_z"]], tvec_gt, atol=3e-3
+    )
+    np.testing.assert_allclose(
+        [left["rvec_x"], left["rvec_y"], left["rvec_z"]], rvec_gt, atol=2e-2
+    )
+
+    (tmp_path / "SN41182735.conf").write_text(
+        "[STEREO]\nBaseline = 120.0\nTY = 0.0\nTZ = 0.0\n"
+        "RX_FHD1200 = 0.0\nCV_FHD1200 = 0.0\nRZ_FHD1200 = 0.0\n"
+    )
+    rc = main(["calibrate", "stereo-transfer", "--summary", str(summary),
+               "--serial-map", str(smap), "--conf-dir", str(tmp_path),
+               "--correction-offset", "-0.025", "0", "0"])
+    assert rc == 0
+    records = json.loads(summary.read_text())
+    right = [r for r in records if r["cam"] == "rightcam"][0]
+    # identity factory rotation: tvec_right = tvec_left - baseline_x + offset
+    assert abs(right["tvec_x"] - (left["tvec_x"] - 0.120 - 0.025)) < 1e-6
+
+
 def test_cli_serve_with_pose_recovery():
     rc = main(
         [
             "serve", "--views", "2", "--fps", "60", "--frame-hw", "32", "48",
             "--model-size", "32", "--hidden-size", "64", "--num-layers", "1",
             "--duration", "1.0", "--recover-pose", "--pose-robot", "meca500",
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_serve_display_dir(tmp_path):
+    """Headless-safe tiled display (reference DIP_REAL.py canvas loop):
+    'dir' mode writes skeleton-overlay canvases."""
+    disp = tmp_path / "disp"
+    rc = main(
+        [
+            "serve", "--views", "3", "--fps", "60", "--frame-hw", "32", "48",
+            "--model-size", "32", "--hidden-size", "64", "--num-layers", "1",
+            "--duration", "1.0", "--display", "dir", "--display-dir", str(disp),
+            "--display-every", "2",
+        ]
+    )
+    assert rc == 0
+    canvases = list(disp.glob("canvas_*.png"))
+    assert canvases, "no display canvases written"
+    import cv2
+
+    img = cv2.imread(str(canvases[0]))
+    assert img is not None and img.shape[2] == 3
+
+
+def test_cli_serve_pose_recovery_with_calibration(tmp_path):
+    """serve --recover-pose binds real K from --calib-dir, robot base
+    rotations, and ArUco-summary fallback extrinsics (reference
+    Fr5_model_train.ipynb cell 14: PnP with calib K, ArUco fallback)."""
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    for view, serial in (("view1", "41182735"), ("view2", "49429257")):
+        (calib_dir / f"{view}_{serial}_leftcam_calib.json").write_text(json.dumps({
+            "camera_matrix": [[500.0, 0, 24.0], [0, 500.0, 16.0], [0, 0, 1]],
+            "distortion_coeffs": [0.0] * 5,
+        }))
+    summary = tmp_path / "summary.json"
+    summary.write_text(json.dumps([
+        {"view": "view1", "cam": "leftcam", "rvec_x": 0.1, "rvec_y": 0.0,
+         "rvec_z": 0.0, "tvec_x": 0.0, "tvec_y": 0.0, "tvec_z": 1.5},
+        {"view": "view2", "cam": "leftcam", "rvec_x": 0.0, "rvec_y": 0.1,
+         "rvec_z": 0.0, "tvec_x": 0.1, "tvec_y": 0.0, "tvec_z": 1.5},
+    ]))
+    rc = main(
+        [
+            "serve", "--views", "2", "--fps", "60", "--frame-hw", "32", "48",
+            "--model-size", "32", "--hidden-size", "64", "--num-layers", "1",
+            "--duration", "1.0", "--recover-pose", "--pose-robot", "fr3",
+            "--calib-dir", str(calib_dir),
+            "--camera-keys", "view1_leftcam,view2_leftcam",
+            "--summary", str(summary),
         ]
     )
     assert rc == 0

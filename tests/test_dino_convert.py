@@ -166,3 +166,108 @@ def test_hf_naming_accepted(rng):
     p2 = convert_dino_state_dict(hf, CFG.num_layers, CFG.num_heads, CFG.hidden_size)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Real-torch parity: instantiate actual HF transformers DINO modules (random
+# init - no hub egress), convert their state dicts, and assert activation
+# parity against ViTBackbone. This validates the conversion against the real
+# modules the reference trains on (DREAM_Train.py:137, MvRoPose_FR3.py:334),
+# not just a synthetic naming scheme.
+# ---------------------------------------------------------------------------
+
+def _hf_dinov2_config(registers: bool, image_size: int = 28):
+    from transformers import Dinov2Config, Dinov2WithRegistersConfig
+
+    kw = dict(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=256, image_size=image_size, patch_size=14,
+        layerscale_value=1.0, hidden_act="gelu",
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+    )
+    if registers:
+        return Dinov2WithRegistersConfig(num_register_tokens=4, **kw)
+    return Dinov2Config(**kw)
+
+
+def _vit_config_for(hf_cfg, registers: bool):
+    return ViTConfig(
+        image_size=hf_cfg.image_size, patch_size=hf_cfg.patch_size,
+        hidden_size=hf_cfg.hidden_size, num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads, layerscale_init=1e-5,
+        num_register_tokens=4 if registers else 0, dtype="float32",
+    )
+
+
+def _run_hf_parity(registers: bool, run_size: int | None = None):
+    import torch
+    from transformers import Dinov2Model, Dinov2WithRegistersModel
+
+    torch.manual_seed(0)
+    hf_cfg = _hf_dinov2_config(registers)
+    model_t = (Dinov2WithRegistersModel if registers else Dinov2Model)(hf_cfg).eval()
+
+    size = run_size or hf_cfg.image_size
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2, size, size, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model_t(
+            torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+
+    sd = {k: v.numpy() for k, v in model_t.state_dict().items()}
+    params = convert_dino_state_dict(
+        sd, hf_cfg.num_hidden_layers, hf_cfg.num_attention_heads, hf_cfg.hidden_size
+    )
+    cfg = _vit_config_for(hf_cfg, registers)
+    out = ViTBackbone(cfg).apply({"params": params}, jnp.asarray(images))
+
+    n_prefix = 1 + cfg.num_register_tokens
+    np.testing.assert_allclose(np.asarray(out["cls_token"]), want[:, 0], atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["patch_tokens"]), want[:, n_prefix:], atol=1e-4
+    )
+    if registers:
+        np.testing.assert_allclose(
+            np.asarray(out["register_tokens"]), want[:, 1:n_prefix], atol=1e-4
+        )
+
+
+def test_real_hf_dinov2_activation_parity():
+    """Converted real HF Dinov2Model reproduces patch-token activations."""
+    _run_hf_parity(registers=False)
+
+
+def test_real_hf_dinov2_with_registers_parity():
+    """DINOv3-style variant: register tokens between CLS and patches."""
+    _run_hf_parity(registers=True)
+
+
+def test_real_hf_dinov2_interpolated_pos_embed_parity():
+    """Run at a different resolution than the checkpoint grid: the 518->512
+    pos-embed interpolation case. Requires the torch-exact bicubic
+    (a=-0.75, antialias) pos-embed resize."""
+    _run_hf_parity(registers=False, run_size=56)  # grid 2 -> 4 (upsample)
+    _run_hf_parity(registers=False, run_size=42)  # grid 2 -> 3 (non-integer)
+
+
+@pytest.mark.parametrize("antialias", [False, True])
+def test_torch_bicubic_matrix_matches_torch(antialias):
+    """The trace-time resize matrix reproduces F.interpolate bicubic
+    (align_corners=False) in both antialias modes, on up-, down- and
+    non-integer scales (incl. the DINO 37->32 grid case)."""
+    import torch
+
+    from mvropose_tpu.models.vit import _torch_bicubic_matrix
+
+    rng = np.random.default_rng(0)
+    for n_in, n_out in [(2, 3), (4, 9), (37, 32), (16, 7)]:
+        x = rng.normal(size=(1, 5, n_in, n_in)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(n_out, n_out), mode="bicubic",
+            align_corners=False, antialias=antialias,
+        ).numpy()
+        M = _torch_bicubic_matrix(n_in, n_out, antialias).astype(np.float32)
+        got = np.einsum("Hh,bchw->bcHw", M, x)
+        got = np.einsum("Ww,bchw->bchW", M, got)
+        np.testing.assert_allclose(got, want, atol=1e-5)
