@@ -1,0 +1,157 @@
+"""End-to-end serve-tick benchmark: everything the realtime app pays for.
+
+bench.py's headline measures the on-device step (forward + decode). This
+bench measures the FULL tick at camera resolution, the costs the reference's
+DIP_REAL loop pays per frame (/root/reference/DIP_REAL.py:100-140):
+
+  host undistort (cv2.remap, per camera, 720p u8)
+  -> H2D transfer (uint8, V images)
+  -> device preprocess (f32 scale + resize to model size + imagenet norm)
+  -> multi-view forward (ViT-B/16 bf16, fused B*V)
+  -> Pallas peak decode
+  -> per-camera 6D RANSAC-PnP (recover_pose_batch, vmapped)
+
+Sweeps frame-set batch B in {1, 2, 4}: B=1 is the latency configuration the
+realtime app runs; B>1 shows the throughput headroom if multiple rigs (or a
+short frame queue) share the chip. Prints one JSON line per stage/config and
+writes BENCH_SERVE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from mvropose_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from mvropose_tpu.decode import decode_keypoints
+    from mvropose_tpu.geometry.camera import undistort_map
+    from mvropose_tpu.geometry.robots import get_robot
+    from mvropose_tpu.models import MultiViewPoseEstimator
+    from mvropose_tpu.pose import recover_pose_batch
+
+    V, HW, S = 4, (720, 1280), 512
+    robot = get_robot("fr5")
+    cfg = _flagship_cfg(image_size=S)
+    model = MultiViewPoseEstimator(cfg)
+    on_tpu = jax.default_backend() == "tpu"
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(V, *HW, 3), dtype=np.uint8)
+
+    # Realistic ZED-ish intrinsics + mild distortion for the remap maps.
+    K = jnp.asarray([[737.0, 0, HW[1] / 2], [0, 737.0, HW[0] / 2], [0, 0, 1]], jnp.float32)
+    dist = jnp.asarray([-0.06, 0.04, 0.0003, -0.0002, -0.01], jnp.float32)
+    grid = np.asarray(undistort_map(K, dist, *HW))
+    map_x = np.ascontiguousarray(grid[1], np.float32)
+    map_y = np.ascontiguousarray(grid[0], np.float32)
+
+    Ks = jnp.tile(K[None], (V, 1, 1))
+    bases = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (V, 1, 1))
+
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, V, S, S, 3)),
+            jnp.zeros((1, V), jnp.int32),
+            jnp.ones((1, V), bool),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    def make_step(B: int):
+        view_ids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
+        mask = jnp.ones((B, V), bool)
+
+        @jax.jit
+        def step(images_u8):  # (B, V, 720, 1280, 3) u8
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            imgs = jax.image.resize(imgs, (B, V, S, S, 3), "bilinear")
+            imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            hm, ang = model.apply(variables, imgs, view_ids, mask)
+            keys = jax.random.split(jax.random.PRNGKey(0), B)
+            pose = jax.vmap(
+                lambda h, a, k: recover_pose_batch(
+                    h, a, bases, Ks, robot, HW, key=k, use_pallas=on_tpu
+                )
+            )(hm, ang, keys)
+            return pose["keypoints_xy"], pose["confidence"], pose["rvec"], pose["tvec"], pose["success"]
+
+        return step
+
+    def timeit(fn, iters, *a):
+        out = fn(*a)
+        jax.block_until_ready(out) if not isinstance(out, np.ndarray) else None
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        if not isinstance(out, np.ndarray):
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    results = {"device": getattr(jax.devices()[0], "device_kind", "cpu"),
+               "backend": jax.default_backend(), "stages": {}, "sweep": []}
+
+    # Stage timings at B=1 ("where the time goes").
+    undistort = lambda: np.stack(
+        [cv2.remap(frames[i], map_x, map_y, cv2.INTER_LINEAR) for i in range(V)]
+    )
+    t_und = timeit(lambda: undistort(), 20)
+    h2d = lambda x: jax.device_put(x).block_until_ready()
+    t_h2d = timeit(h2d, 20, frames)
+    step1 = make_step(1)
+    dev_frames1 = jax.device_put(frames[None])
+    t_dev = timeit(step1, 20, dev_frames1)
+    results["stages"] = {
+        "host_undistort_ms": round(t_und * 1e3, 2),
+        "h2d_ms": round(t_h2d * 1e3, 2),
+        "device_step_ms": round(t_dev * 1e3, 2),
+    }
+    print(json.dumps({"bench": "serve_stages_b1", **results["stages"]}), flush=True)
+
+    # Full-tick sweep (host undistort + H2D + device step), B in {1, 2, 4}.
+    for B in (1, 2, 4):
+        step = make_step(B)
+        batch = np.tile(frames[None], (B, 1, 1, 1, 1))
+
+        def full_tick():
+            und = np.stack(
+                [
+                    np.stack([cv2.remap(batch[b, i], map_x, map_y, cv2.INTER_LINEAR) for i in range(V)])
+                    for b in range(B)
+                ]
+            )
+            return step(jnp.asarray(und))
+
+        t = timeit(lambda: full_tick(), 10)
+        rec = {
+            "bench": f"serve_full_tick_b{B}",
+            "tick_ms": round(t * 1e3, 2),
+            "frame_sets_per_sec": round(B / t, 2),
+            "camera_frames_per_sec": round(B * V / t, 2),
+        }
+        results["sweep"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    with open("BENCH_SERVE.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Training-step throughput + MFU benchmark.
+
+The reference's dominant workload is training (DREAM single-view at batch
+240/GPU, /root/reference/model/DREAM_Train.py:756; FR3 multi-view at batch
+18 groups of <=4 views @512px, MvRoPose_FR3.py:1071,925). This bench measures
+the repo's jitted train steps at those shapes on one TPU chip and reports
+samples/s plus measured MFU.
+
+FLOPs come from XLA's own cost analysis of the compiled step executable
+(compiled.cost_analysis()["flops"]) - the honest number for exactly the
+program that ran, including the frozen-backbone effect (no backward through
+the ViT). Peak chip FLOP/s is looked up from the device kind; unknown kinds
+report achieved FLOP/s with mfu=null rather than guessing.
+
+Prints one JSON line per configuration; bench.py remains the driver's
+single-line headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Peak dense bf16 FLOP/s per chip (public spec sheets).
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v6 lite": 918e12,  # Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "")
+    for name, peak in PEAK_BF16.items():
+        if kind.startswith(name) or name in kind:
+            return peak
+    return None
+
+
+def bench_step(step_fn, state, batch, rng, iters: int = 10):
+    """Compile, measure wall time per step, and pull XLA's flop count."""
+    import jax
+
+    lowered = step_fn.lower(state, batch, rng)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+
+    state, m = compiled(state, batch, rng)  # warmup (donated state flows through)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = compiled(state, batch, rng)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, flops, float(m["loss"])
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from mvropose_tpu.models import (
+        EstimatorConfig,
+        MultiViewPoseEstimator,
+        SingleViewPoseEstimator,
+    )
+    from mvropose_tpu.models.vit import VIT_B16, ViTConfig
+    import dataclasses
+    from mvropose_tpu.geometry.heatmap import render_heatmaps
+    from mvropose_tpu.train import (
+        TrainConfig,
+        create_train_state,
+        make_multi_view_train_step,
+        make_single_view_train_step,
+    )
+
+    dev = jax.devices()[0]
+    peak = peak_flops(dev)
+    on_tpu = jax.default_backend() == "tpu"
+    results = []
+
+    def run(name, model, batch, single: bool, n_items: int, iters=10):
+        key = jax.random.PRNGKey(0)
+        if single:
+            variables = model.init(key, batch["images"][:1])
+            step = make_single_view_train_step(TrainConfig())
+        else:
+            variables = model.init(
+                key, batch["images"][:1], batch["view_ids"][:1], batch["view_mask"][:1]
+            )
+            step = make_multi_view_train_step(TrainConfig())
+        state = create_train_state(model, variables, TrainConfig())
+        dt, flops, loss = bench_step(step, state, batch, jax.random.PRNGKey(1), iters)
+        rec = {
+            "bench": name,
+            "items_per_sec": round(n_items / dt, 2),
+            "step_ms": round(dt * 1e3, 2),
+            "tflops_per_step": round(flops / 1e12, 2),
+            "achieved_tflops_per_sec": round(flops / dt / 1e12, 2),
+            "mfu": round(flops / dt / peak, 4) if peak else None,
+            "device": getattr(dev, "device_kind", str(dev)),
+            "loss_finite": bool(jnp.isfinite(loss)),
+        }
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    rng = jax.random.PRNGKey(42)
+
+    # --- Single-view, reference DREAM shape: ViT-B/16 @224, batch 240.
+    B = int(os.environ.get("BENCH_SV_BATCH", "240"))
+    vit = dataclasses.replace(VIT_B16, image_size=224)
+    cfg = EstimatorConfig(vit=vit, num_joints=7, num_angles=7, heatmap_size=(128, 128))
+    sv = SingleViewPoseEstimator(cfg)
+    kp = jax.random.uniform(rng, (B, 7, 2), minval=8, maxval=120)
+    batch = {
+        "images": jax.random.normal(rng, (B, 224, 224, 3), jnp.float32),
+        "heatmaps": render_heatmaps(kp, 128, 128, sigma=5.0),
+        "angles": jax.random.normal(rng, (B, 7), jnp.float32),
+    }
+    run(f"train_single_view_b{B}_224px", sv, batch, single=True, n_items=B)
+
+    # --- Multi-view, reference FR3 shape: ViT-B/16 @512, 18 groups x 4 views.
+    B, V = int(os.environ.get("BENCH_MV_BATCH", "18")), 4
+    vit = dataclasses.replace(VIT_B16, image_size=512)
+    cfg = EstimatorConfig(vit=vit, num_joints=8, num_angles=7, heatmap_size=(128, 128))
+    mv = MultiViewPoseEstimator(cfg)
+    kp = jax.random.uniform(rng, (B, V, 8, 2), minval=8, maxval=120)
+    batch = {
+        "images": jax.random.normal(rng, (B, V, 512, 512, 3), jnp.float32),
+        "view_ids": jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1)),
+        "view_mask": jnp.ones((B, V), dtype=bool),
+        "heatmaps": render_heatmaps(kp, 128, 128, sigma=5.0),
+        "angles": jax.random.normal(rng, (B, 7), jnp.float32),
+    }
+    run(f"train_multi_view_b{B}x{V}_512px", mv, batch, single=False, n_items=B)
+
+    out = {"device": getattr(dev, "device_kind", str(dev)), "backend": jax.default_backend(),
+           "peak_bf16_tflops": peak / 1e12 if peak else None, "results": results}
+    with open("BENCH_TRAIN.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Self-contained synthetic rig: FK-rendered training data with exact GT.
+
+Purpose: convergence *evidence*. The reference demonstrates that its
+estimators learn on real captures (loss curves in
+/root/reference/model/Fr5_model_train.ipynb cell 13 and
+Franka_research3_model_train.ipynb cell 7); this environment has no capture
+data and no network, so we prove the same property end-to-end with data the
+framework renders from its OWN kinematics + camera model:
+
+    joint angles -> forward_kinematics -> project_points per camera ->
+    images (one distinctly-colored gaussian blob per joint) + GT heatmaps.
+
+Because the image generator and the GT generator share the exact same
+geometry, a correct model/loss/optimizer stack must drive PCK@5px -> ~1.0 and
+the angle head toward the true joints; any frame/unit/indexing bug anywhere
+in the chain (FK, projection, heatmap rendering, decode, metrics) caps the
+achievable PCK well below that. The convergence run is therefore an
+integration test of L3+L5+L6+L9 at once, not a toy.
+
+Everything renders on-device in one jit (no file IO, no host loops): the
+blob images are per-joint gaussians times a fixed color palette - the same
+vectorized `render_heatmaps` broadcast trick, so a (B, V)-batch of 128x128x3
+images costs one fused elementwise pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvropose_tpu.geometry.camera import project_points
+from mvropose_tpu.geometry.heatmap import render_heatmaps
+from mvropose_tpu.geometry.robots import RobotSpec, forward_kinematics
+from mvropose_tpu.geometry.rotations import matrix_to_rodrigues
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticRig:
+    """A ring of V pinhole cameras looking at the robot workspace center."""
+
+    K: np.ndarray  # (3, 3) shared intrinsics
+    rvecs: np.ndarray  # (V, 3) world->cam Rodrigues
+    tvecs: np.ndarray  # (V, 3)
+    image_hw: Tuple[int, int]
+
+    @property
+    def n_views(self) -> int:
+        return self.rvecs.shape[0]
+
+
+def _look_at(camera_center: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """World->camera rotation for a camera at `camera_center` looking at
+    `target`, OpenCV convention (+z forward, +y down)."""
+    fwd = target - camera_center
+    fwd = fwd / np.linalg.norm(fwd)
+    up_hint = np.array([0.0, 0.0, -1.0])
+    if abs(np.dot(fwd, up_hint)) > 0.99:  # looking straight down/up
+        up_hint = np.array([0.0, -1.0, 0.0])
+    right = np.cross(fwd, up_hint)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    # Rows of R are the camera axes expressed in world coordinates.
+    return np.stack([right, down, fwd], axis=0)
+
+
+def make_rig(
+    n_views: int = 3,
+    image_hw: Tuple[int, int] = (128, 128),
+    distance_m: float = 1.6,
+    elevation_m: float = 0.9,
+    target: Tuple[float, float, float] = (0.0, 0.0, 0.35),
+    focal_scale: float = 0.55,
+) -> SyntheticRig:
+    """Cameras evenly spaced on a ring, all aimed at the workspace center.
+
+    focal_scale sets the focal length as a multiple of the image width -
+    chosen so a ~1 m-reach robot at ~1.6 m stays fully in frame from EVERY
+    ring azimuth across the sampled joint range (verified by
+    test_synthetic_keypoints_in_frame over a 64-sample draw).
+    """
+    h, w = image_hw
+    f = focal_scale * w
+    K = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1]], dtype=np.float32)
+    tgt = np.asarray(target, dtype=np.float64)
+    rvecs, tvecs = [], []
+    for v in range(n_views):
+        az = 2.0 * np.pi * v / max(n_views, 1)
+        center = tgt + np.array(
+            [distance_m * np.cos(az), distance_m * np.sin(az), elevation_m - tgt[2]]
+        )
+        R = _look_at(center, tgt)
+        rvec = np.asarray(matrix_to_rodrigues(jnp.asarray(R, dtype=jnp.float32)))
+        rvecs.append(rvec)
+        tvecs.append((-R @ center).astype(np.float32))
+    return SyntheticRig(
+        K=K,
+        rvecs=np.stack(rvecs).astype(np.float32),
+        tvecs=np.stack(tvecs).astype(np.float32),
+        image_hw=image_hw,
+    )
+
+
+def joint_palette(n_joints: int) -> np.ndarray:
+    """(J, 3) visually-distinct colors in [-1, 1] (hue wheel, full saturation).
+
+    Distinct colors make joint *identity* recoverable from a single pixel
+    neighborhood, so the task tests localization + identification, the same
+    skills real keypoint data demands."""
+    hues = np.linspace(0.0, 1.0, n_joints, endpoint=False)
+    c = []
+    for hue in hues:
+        k = (np.array([0, 2, 4]) + hue * 6.0) % 6.0
+        rgb = 1.0 - np.maximum(np.minimum(np.minimum(k, 4.0 - k), 1.0), 0.0)
+        c.append(rgb)
+    return (np.stack(c) * 2.0 - 1.0).astype(np.float32)
+
+
+def render_blob_images(
+    kp2d: jnp.ndarray,
+    image_hw: Tuple[int, int],
+    palette: jnp.ndarray,
+    blob_sigma_px: float = 3.0,
+    noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Keypoints (..., J, 2) in image px -> images (..., H, W, 3) in ~[-1, 1].
+
+    Each joint is an isotropic gaussian blob of its palette color on a dark
+    background; later joints composite over earlier ones by simple addition
+    with tanh squash (keeps gradients/dynamic range tame where blobs overlap).
+    """
+    h, w = image_hw
+    blobs = render_heatmaps(kp2d, h, w, sigma=blob_sigma_px)  # (..., J, H, W)
+    img = jnp.einsum("...jhw,jc->...hwc", blobs, palette.astype(jnp.float32))
+    if noise is not None:
+        img = img + noise
+    return jnp.tanh(img)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("robot", "batch_size", "image_hw", "heatmap_hw", "noise_std"),
+)
+def synthesize_multiview_batch(
+    robot: RobotSpec,
+    rig_arrays,
+    key: jax.Array,
+    batch_size: int,
+    image_hw: Tuple[int, int] = (128, 128),
+    heatmap_hw: Tuple[int, int] = (64, 64),
+    angle_scale: float = 0.6,
+    heatmap_sigma: float = 2.0,
+    noise_std: float = 0.05,
+):
+    """One fully-on-device multi-view batch with exact GT.
+
+    rig_arrays = (K (3,3), rvecs (V,3), tvecs (V,3)) as jnp arrays (pass
+    through `rig_tuple(rig)` so the rig stays hashable/static-free).
+
+    Returns dict(images (B,V,H,W,3), heatmaps (B,V,J,Hm,Wm), angles (B,A),
+    keypoints_2d (B,V,J,2) image px, keypoints_3d (B,J,3), view_ids, view_mask).
+    Angles are sampled uniform in +-angle_scale * (pi or 90deg) around a home
+    pose, in the robot's native unit.
+    """
+    K, rvecs, tvecs = rig_arrays
+    V = rvecs.shape[0]
+    J = robot.n_keypoints
+    A = robot.n_joints
+    h, w = image_hw
+    hm_h, hm_w = heatmap_hw
+
+    k_ang, k_noise = jax.random.split(key)
+    half_range = 90.0 if robot.angle_unit == "deg" else jnp.pi / 2.0
+    angles = jax.random.uniform(
+        k_ang, (batch_size, A), minval=-angle_scale * half_range,
+        maxval=angle_scale * half_range,
+    ).astype(jnp.float32)
+
+    kp3d = jax.vmap(lambda a: forward_kinematics(robot, a))(angles)  # (B, J, 3)
+
+    def proj_one_view(rv, tv):
+        return jax.vmap(lambda p: project_points(p, rv, tv, K, None))(kp3d)
+
+    kp2d = jax.vmap(proj_one_view)(rvecs, tvecs)  # (V, B, J, 2)
+    kp2d = jnp.transpose(kp2d, (1, 0, 2, 3))  # (B, V, J, 2)
+
+    palette = jnp.asarray(joint_palette(J))
+    noise = noise_std * jax.random.normal(k_noise, (batch_size, V, h, w, 3))
+    images = render_blob_images(kp2d, image_hw, palette, noise=noise)
+
+    scale = jnp.asarray([hm_w / w, hm_h / h], dtype=jnp.float32)
+    heatmaps = render_heatmaps(kp2d * scale, hm_h, hm_w, sigma=heatmap_sigma)
+
+    view_ids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (batch_size, 1))
+    view_mask = jnp.ones((batch_size, V), dtype=bool)
+    return {
+        "images": images,
+        "heatmaps": heatmaps,
+        "angles": angles,
+        "keypoints_2d": kp2d,
+        "keypoints_3d": kp3d,
+        "view_ids": view_ids,
+        "view_mask": view_mask,
+    }
+
+
+def rig_tuple(rig: SyntheticRig):
+    return (jnp.asarray(rig.K), jnp.asarray(rig.rvecs), jnp.asarray(rig.tvecs))
+
+
+def single_view_batch(mv_batch, view: int = 0):
+    """Slice one view out of a multi-view batch -> single-view batch dict."""
+    return {
+        "images": mv_batch["images"][:, view],
+        "heatmaps": mv_batch["heatmaps"][:, view],
+        "angles": mv_batch["angles"],
+        "keypoints_2d": mv_batch["keypoints_2d"][:, view],
+        "keypoints_3d": mv_batch["keypoints_3d"],
+    }

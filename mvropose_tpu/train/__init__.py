@@ -6,7 +6,7 @@ from mvropose_tpu.train.losses import (
     smooth_l1_loss,
     fk_consistency_loss,
 )
-from mvropose_tpu.train.metrics import pck_at_k, add_metric
+from mvropose_tpu.train.metrics import pck_at_k, add_metric, add_auc, angle_mae
 from mvropose_tpu.train.state import TrainState, create_train_state, TrainConfig
 from mvropose_tpu.train.step import (
     make_single_view_train_step,
@@ -21,6 +21,8 @@ __all__ = [
     "fk_consistency_loss",
     "pck_at_k",
     "add_metric",
+    "add_auc",
+    "angle_mae",
     "TrainState",
     "TrainConfig",
     "create_train_state",

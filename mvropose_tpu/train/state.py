@@ -64,11 +64,15 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def _label_params(params) -> Any:
-    """Label each top-level module: 'kpt' | 'ang' | 'frozen'."""
+def _label_params(params, freeze_backbone: bool = True) -> Any:
+    """Label each top-level module: 'kpt' | 'ang' | 'frozen'.
+
+    With freeze_backbone=False the backbone joins the keypoint group (the
+    reference's from-scratch ablation mode; also what the synthetic
+    convergence runs use, since no pretrained weights exist offline)."""
 
     def label_for(name: str) -> str:
-        if name in FROZEN_MODULES:
+        if freeze_backbone and name in FROZEN_MODULES:
             return "frozen"
         if name in ANG_MODULES:
             return "ang"
@@ -93,7 +97,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             "ang": adamw(cfg.lr_ang),
             "frozen": optax.set_to_zero(),
         },
-        _label_params,
+        lambda params: _label_params(params, cfg.freeze_backbone),
     )
 
 

@@ -86,6 +86,7 @@ def test_params_npz_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_restores_on_mesh(tmp_path, rng):
     """Save from a mesh-sharded training run, restore, continue on the mesh -
     the trainer-elasticity path (reference had none; a dead rank killed the

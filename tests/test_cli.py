@@ -51,6 +51,7 @@ def _write_images(d: Path, n=6, hw=(60, 80), serial="41182735", side="left"):
     return paths
 
 
+@pytest.mark.slow
 def test_cli_sync_and_calibrate_and_train_meca500(tmp_path):
     # --- sync (meca500 index pairing) ---
     img_dir = tmp_path / "image"
@@ -179,6 +180,7 @@ def test_cli_serve_synthetic(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_fr3_multiview_train(tmp_path):
     """Multi-view FR3 path through the CLI: yaml sync -> group -> fused
     training with view masks."""

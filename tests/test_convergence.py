@@ -1,0 +1,113 @@
+"""Convergence regression: the full train stack must LEARN, not just step.
+
+Counterpart of the committed TPU runs in runs/synth_sv / runs/synth_mv (see
+scripts/train_synthetic.py): trains the tiny single-view estimator on
+framework-rendered synthetic data (FK -> projection -> colored blobs) until
+held-out PCK@5px(image space) clears 0.9. Any frame/unit/indexing bug in FK,
+projection, heatmap GT, the model, the loss, the optimizer grouping, decode,
+or the metric itself caps PCK far below that - this is the one test that
+exercises the whole learning loop end to end.
+
+Marked slow: ~500 train steps of a 0.9M-param model on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvropose_tpu.data.synthetic import (
+    joint_palette,
+    make_rig,
+    rig_tuple,
+    single_view_batch,
+    synthesize_multiview_batch,
+)
+from mvropose_tpu.geometry.heatmap import argmax_decode
+from mvropose_tpu.geometry.robots import get_robot
+from mvropose_tpu.models import EstimatorConfig, SingleViewPoseEstimator
+from mvropose_tpu.models.vit import ViTConfig
+from mvropose_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    make_single_view_train_step,
+    pck_at_k,
+)
+
+IMG, HM = 64, 32
+
+
+def _make_batch(robot, rig_arrs, key, batch):
+    mv = synthesize_multiview_batch(
+        robot, rig_arrs, key, batch, image_hw=(IMG, IMG), heatmap_hw=(HM, HM),
+        heatmap_sigma=1.5,
+    )
+    return single_view_batch(mv)
+
+
+def test_synthetic_keypoints_in_frame():
+    """Sanity (fast): the synthetic rig keeps all keypoints inside the image
+    across the sampled joint range, so the convergence task is well-posed."""
+    robot = get_robot("fr5")
+    rig = make_rig(n_views=3, image_hw=(IMG, IMG))
+    b = synthesize_multiview_batch(
+        robot, rig_tuple(rig), jax.random.PRNGKey(3), 64,
+        image_hw=(IMG, IMG), heatmap_hw=(HM, HM),
+    )
+    kp = np.asarray(b["keypoints_2d"])
+    assert kp[..., 0].min() > 0 and kp[..., 0].max() < IMG
+    assert kp[..., 1].min() > 0 and kp[..., 1].max() < IMG
+    # Distinct palette: no two joints share a color (identity is learnable).
+    pal = joint_palette(robot.n_keypoints)
+    assert len({tuple(np.round(c, 3)) for c in pal}) == robot.n_keypoints
+
+
+@pytest.mark.slow
+def test_single_view_synthetic_convergence():
+    robot = get_robot("fr5")
+    rig = make_rig(n_views=1, image_hw=(IMG, IMG))
+    rig_arrs = rig_tuple(rig)
+
+    cfg = EstimatorConfig(
+        vit=ViTConfig(
+            image_size=IMG, patch_size=16, hidden_size=96, num_layers=2,
+            num_heads=4, layerscale_init=None, dtype="float32",
+        ),
+        num_joints=robot.n_keypoints,
+        num_angles=robot.n_joints,
+        heatmap_size=(HM, HM),
+        max_views=2,
+        num_fusion_queries=4,
+        num_angle_queries=2,
+        freeze_backbone=False,
+        dtype="float32",
+    )
+    model = SingleViewPoseEstimator(cfg)
+    tcfg = TrainConfig(
+        num_epochs=1, steps_per_epoch=500, lr_kpt=2e-3, lr_ang=2e-3,
+        loss_weight_kpt=100.0, freeze_backbone=False,
+    )
+    init = _make_batch(robot, rig_arrs, jax.random.PRNGKey(99), 2)
+    variables = model.init(jax.random.PRNGKey(1), init["images"][:1])
+    state = create_train_state(model, variables, tcfg)
+    step = make_single_view_train_step(tcfg)
+
+    key = jax.random.PRNGKey(0)
+    for i in range(500):
+        key, bk, sk = jax.random.split(key, 3)
+        state, m = step(state, _make_batch(robot, rig_arrs, bk, 32), sk)
+
+    # Held-out eval (seed far from the training stream).
+    ev = _make_batch(robot, rig_arrs, jax.random.PRNGKey(123_456), 64)
+    pred_hm, pred_ang = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats}, ev["images"]
+    )
+    xy, _ = argmax_decode(pred_hm)
+    pck5 = float(pck_at_k(xy * (IMG / HM), ev["keypoints_2d"], k_px=5.0))
+    assert pck5 >= 0.9, f"held-out PCK@5px {pck5} < 0.9 (loss {float(m['loss'])})"
+    # Angle regression from scratch needs far more optimization than 500
+    # steps (see runs/synth_sv); here we only require the head's output to be
+    # finite and batch-dependent (not a collapsed constant).
+    assert bool(jnp.all(jnp.isfinite(pred_ang)))
+    assert float(jnp.std(pred_ang, axis=0).max()) > 1e-3

@@ -51,3 +51,28 @@ def test_decode_keypoints_rescale(rng):
     xy2, conf2 = decode_keypoints(maps, image_hw=(720, 1280), use_pallas=False)
     np.testing.assert_allclose(np.asarray(xy), np.asarray(xy2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(conf), np.asarray(conf2), atol=1e-5)
+
+
+def test_reference_decode_golden_parity():
+    """Repo decoder == numpy transcription of the reference's
+    extract_keypoints_from_heatmaps (Fr5_model_train.ipynb cell 14) on the
+    committed fixtures - the BASELINE.md parity table, asserted in CI."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from reference_decode_golden import FIXTURE_PATH, make_fixtures, reference_decode
+
+    fixtures = (
+        {k: v for k, v in np.load(FIXTURE_PATH).items()}
+        if FIXTURE_PATH.exists()
+        else make_fixtures()
+    )
+    image_hw = (1080, 1920)
+    for name, hm in fixtures.items():
+        ref_kp, ref_sc = reference_decode(hm, image_hw)
+        xy, conf = decode_keypoints(
+            jnp.asarray(hm), image_hw=image_hw, mode="argmax", use_pallas=False
+        )
+        np.testing.assert_array_equal(np.asarray(xy), ref_kp, err_msg=name)
+        np.testing.assert_allclose(np.asarray(conf), ref_sc, atol=1e-6, err_msg=name)

@@ -81,6 +81,7 @@ def test_frozen_backbone_params_unchanged(rng):
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+@pytest.mark.slow
 def test_multi_view_train_step_on_mesh(rng):
     """Full DP train step over the fake 8-device mesh."""
     mesh = make_mesh(n_data=8)
@@ -111,6 +112,7 @@ def test_multi_view_train_step_on_mesh(rng):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded(rng):
     """DP over 8 devices computes the same update as single-device."""
     model = SingleViewPoseEstimator(TINY)
@@ -156,6 +158,7 @@ def test_eval_step_and_metrics(rng):
     assert abs(add - np.sqrt(3)) < 1e-5
 
 
+@pytest.mark.slow
 def test_fk_consistency_loss_trains(rng):
     """FK-consistency: projected FK(pred angles) pulled toward GT 2D points.
 
@@ -203,6 +206,7 @@ def test_fk_consistency_loss_trains(rng):
     assert fks[-1] < fks[0] * 0.9, fks[::8]
 
 
+@pytest.mark.slow
 def test_fit_resume_replicates_on_mesh(rng, tmp_path):
     """fit() resume on a multi-device mesh: restored state must compose with
     sharded batches (orbax commits restored arrays to one device)."""
