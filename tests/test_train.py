@@ -244,3 +244,44 @@ def test_fit_resume_replicates_on_mesh(rng, tmp_path):
         ev3 = make_eval_step(cfg3, multi_view=False, mesh=mesh)
         r3 = fit(fresh3, step3, ev3, mk_train, mk_val, cfg3, tmp_path / "w", mesh=mesh)
         assert r3.epochs_run == 1  # epochs 2 -> 3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_multiview_mesh_shapes_equal_unsharded(rng, n_data, n_model):
+    """Every (data x model) mesh factorization computes the same multi-view
+    update as single-device: sharding (batch over 'data', camera views over
+    'model' / sequence parallelism) is layout, never semantics."""
+    import dataclasses as _dc
+
+    model = MultiViewPoseEstimator(_dc.replace(TINY, max_views=8))
+    B, V = 8, 8  # divisible by every swept axis width
+    kps = rng.uniform(4, 28, size=(B, V, 4, 2)).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, V, 64, 64, 3)).astype(np.float32)),
+        "view_ids": jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1)),
+        "view_mask": jnp.asarray(rng.uniform(size=(B, V)) > 0.2),
+        "heatmaps": render_heatmaps(jnp.asarray(kps), 32, 32, sigma=2.0),
+        "angles": jnp.asarray(rng.uniform(-1, 1, size=(B, 3)).astype(np.float32)),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"][:1], batch["view_ids"][:1], batch["view_mask"][:1]
+    )
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=10)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    ref_state = create_train_state(model, copy(variables), cfg)
+    ref_state, m_ref = make_multi_view_train_step(cfg)(ref_state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    state = create_train_state(model, copy(variables), cfg)
+    step = make_multi_view_train_step(cfg, mesh)
+    with mesh:
+        state, m = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(0))
+
+    assert abs(float(m_ref["loss"]) - float(m["loss"])) < 2e-3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params["fusion_module"]),
+        jax.tree_util.tree_leaves(state.params["fusion_module"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
