@@ -4,6 +4,10 @@ The glue the reference embedded in each trainer's main() (CSV row ->
 dataset pair construction, e.g. /root/reference/model/DREAM_Train.py:779,
 Fr5_model_train.ipynb cell 13). One builder per robot family, all returning
 the same SingleViewDataset / MultiViewDataset types.
+
+Column extraction is vectorized (one ``to_numpy`` per frame, then a plain
+list loop) - ``df.iterrows()`` materializes a Series per row and is ~50x
+slower, which matters at the DREAM scale of 44k rows (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -33,15 +37,24 @@ def _serial_view_from_path(path: str, rig: RigSpec) -> tuple[str, str, str] | No
     return serial, cam, view
 
 
+def _paths_and_angles(
+    df: pd.DataFrame, angle_cols: list[str]
+) -> tuple[list[str], np.ndarray]:
+    paths = df["image_path"].astype(str).tolist()
+    angles = df[angle_cols].to_numpy(np.float32, copy=True)
+    return paths, angles
+
+
 def build_fr5_single_view(
     df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (1080, 1920)
 ) -> SingleViewDataset:
     """Fr5 rows (joint_1..joint_6 in degrees) -> single-view dataset with
     on-the-fly FK+projection GT."""
-    samples = []
     n = rig.robot.n_joints
-    for _, row in df.iterrows():
-        svc = _serial_view_from_path(row["image_path"], rig)
+    paths, angles = _paths_and_angles(df, [f"joint_{i}" for i in range(1, n + 1)])
+    samples = []
+    for path, ang in zip(paths, angles):
+        svc = _serial_view_from_path(path, rig)
         if svc is None:
             continue
         serial, cam, view = svc
@@ -49,12 +62,7 @@ def build_fr5_single_view(
         if ckey not in rig.calibs or ckey not in rig.extrinsics:
             continue
         samples.append(
-            SingleViewSample(
-                image_path=row["image_path"],
-                camera_key=ckey,
-                view=view,
-                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
-            )
+            SingleViewSample(image_path=path, camera_key=ckey, view=view, angles=ang)
         )
     return SingleViewDataset(samples, rig, image_hw)
 
@@ -63,19 +71,14 @@ def build_meca500_single_view(
     df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (1080, 1920)
 ) -> SingleViewDataset:
     """Meca500: one fixed camera ('front_leftcam'), degrees."""
-    samples = []
     n = rig.robot.n_joints
     ckey = next(iter(rig.calibs))
     view = ckey.split("_")[0]
-    for _, row in df.iterrows():
-        samples.append(
-            SingleViewSample(
-                image_path=row["image_path"],
-                camera_key=ckey,
-                view=view,
-                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
-            )
-        )
+    paths, angles = _paths_and_angles(df, [f"joint_{i}" for i in range(1, n + 1)])
+    samples = [
+        SingleViewSample(image_path=path, camera_key=ckey, view=view, angles=ang)
+        for path, ang in zip(paths, angles)
+    ]
     return SingleViewDataset(samples, rig, image_hw)
 
 
@@ -88,11 +91,13 @@ def build_dream_single_view(
     (camera keys '{subset}_leftcam' from calib.registry.load_dream_rig);
     with a single-calib rig every sample uses that calib (reference
     DREAM_Train.py:103-107 does the same prefix matching)."""
-    samples = []
     keys = sorted(rig.calibs)
     default_key = keys[0]
-    for _, row in df.iterrows():
-        path = str(row["image_path"])
+    paths, angles = _paths_and_angles(df, [f"joint_{i}" for i in range(1, 8)])
+    kp_cols = [f"kpt_{n}_proj_{ax}" for n in DREAM_KEYPOINT_NAMES for ax in ("x", "y")]
+    kps_all = df[kp_cols].to_numpy(np.float32).reshape(len(df), len(DREAM_KEYPOINT_NAMES), 2)
+    samples = []
+    for path, ang, kps in zip(paths, angles, kps_all):
         ckey = default_key
         for k in keys:
             view_name = k.rsplit("_", 1)[0]
@@ -100,17 +105,9 @@ def build_dream_single_view(
                 ckey = k
                 break
         view = ckey.rsplit("_", 1)[0]
-        kps = np.asarray(
-            [[row[f"kpt_{n}_proj_x"], row[f"kpt_{n}_proj_y"]] for n in DREAM_KEYPOINT_NAMES],
-            np.float32,
-        )
         samples.append(
             SingleViewSample(
-                image_path=path,
-                camera_key=ckey,
-                view=view,
-                angles=np.asarray([row[f"joint_{i}"] for i in range(1, 8)], np.float32),
-                keypoints_2d=kps,
+                image_path=path, camera_key=ckey, view=view, angles=ang, keypoints_2d=kps
             )
         )
     return SingleViewDataset(samples, rig, image_hw)
@@ -121,10 +118,11 @@ def build_meca_insertion_single_view(
 ) -> SingleViewDataset:
     """Meca insertion rig: zed-serial filenames over 4 views x 2 cams,
     Meca500 kinematics, joints in degrees from robot_data.txt rows."""
-    samples = []
     n = rig.robot.n_joints
-    for _, row in df.iterrows():
-        svc = _serial_view_from_path(row["image_path"], rig)
+    paths, angles = _paths_and_angles(df, [f"joint_{i}" for i in range(1, n + 1)])
+    samples = []
+    for path, ang in zip(paths, angles):
+        svc = _serial_view_from_path(path, rig)
         if svc is None:
             continue
         serial, cam, view = svc
@@ -132,12 +130,7 @@ def build_meca_insertion_single_view(
         if ckey not in rig.calibs or ckey not in rig.extrinsics:
             continue
         samples.append(
-            SingleViewSample(
-                image_path=row["image_path"],
-                camera_key=ckey,
-                view=view,
-                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
-            )
+            SingleViewSample(image_path=path, camera_key=ckey, view=view, angles=ang)
         )
     return SingleViewDataset(samples, rig, image_hw)
 
@@ -148,24 +141,25 @@ def build_fr5_roi_single_view(
     """Fr5 ROI variant: rows carry precomputed robot bounding boxes
     (roi.x1..roi.y2 columns, the reference's matched_index_with_roi.csv);
     samples crop to the ROI and stretch to image_hw."""
-    samples = []
     n = rig.robot.n_joints
-    for _, row in df.iterrows():
-        svc = _serial_view_from_path(row["image_path"], rig)
+    paths, angles = _paths_and_angles(df, [f"joint_{i}" for i in range(1, n + 1)])
+    rois = df[[f"roi.{k}" for k in ("x1", "y1", "x2", "y2")]].to_numpy(np.int64)
+    samples = []
+    for path, ang, roi in zip(paths, angles, rois):
+        svc = _serial_view_from_path(path, rig)
         if svc is None:
             continue
         serial, cam, view = svc
         ckey = f"{view}_{cam}"
         if ckey not in rig.calibs or ckey not in rig.extrinsics:
             continue
-        roi = tuple(int(row[f"roi.{k}"]) for k in ("x1", "y1", "x2", "y2"))
         samples.append(
             SingleViewSample(
-                image_path=row["image_path"],
+                image_path=path,
                 camera_key=ckey,
                 view=view,
-                angles=np.asarray([row[f"joint_{i}"] for i in range(1, n + 1)], np.float32),
-                roi=roi,
+                angles=ang,
+                roi=tuple(int(v) for v in roi),
             )
         )
     return SingleViewDataset(samples, rig, image_hw)
@@ -181,24 +175,20 @@ def build_fr3_single_view(
         (c for c in df.columns if c.startswith("position_fr3_joint")),
         key=lambda c: int(c.rsplit("joint", 1)[1]),
     )
+    paths, angles = _paths_and_angles(df, angle_cols)
     samples = []
-    for _, row in df.iterrows():
-        svc = _serial_view_from_path(row["image_path"], rig)
+    for path, ang in zip(paths, angles):
+        svc = _serial_view_from_path(path, rig)
         if svc is None:
             continue
         serial, cam, view = svc
         ckey = f"{view}_{cam}"
-        pose = next((p for p in ("pose1", "pose2") if p in str(row["image_path"])), None)
+        pose = next((p for p in ("pose1", "pose2") if p in path), None)
         ekey = f"{pose}_{ckey}" if pose and f"{pose}_{ckey}" in rig.extrinsics else ckey
         if ckey not in rig.calibs or ekey not in rig.extrinsics:
             continue
         samples.append(
-            SingleViewSample(
-                image_path=row["image_path"],
-                camera_key=ckey,
-                view=view,
-                angles=np.asarray([row[c] for c in angle_cols], np.float32),
-            )
+            SingleViewSample(image_path=path, camera_key=ckey, view=view, angles=ang)
         )
 
     def extr_key_fn(s: SingleViewSample) -> str:

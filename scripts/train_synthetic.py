@@ -142,8 +142,11 @@ def main() -> None:
         ]
         pool = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *chunks)
 
+        # Pool is an ARGUMENT, not a closure: closed-over device arrays get
+        # embedded as constants in the lowered program, which blows past the
+        # remote-compile request size limit on the tunneled TPU (HTTP 413).
         @jax.jit
-        def draw(key):
+        def draw(pool, key):
             idx = jax.random.randint(key, (args.batch,), 0, args.dataset_size)
             return jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), pool)
 
@@ -245,7 +248,7 @@ def main() -> None:
     samples = 0
     for step_i in range(args.steps):
         key, bk, sk = jax.random.split(key, 3)
-        batch = draw(bk) if pool is not None else make_batch(bk)
+        batch = draw(pool, bk) if pool is not None else make_batch(bk)
         state, m = train_step(state, batch, sk)
         samples += args.batch
         if (step_i + 1) % args.eval_every == 0 or step_i == 0:
