@@ -316,6 +316,60 @@ def _load_rig_from_args(args):
     )
 
 
+def _graft_backbone_ckpt(variables, ckpt_path, vit_cfg):
+    """Replace the initialized backbone params with a converted DINO
+    checkpoint (the reference's frozen-pretrained workflow,
+    DREAM_Train.py:137 / MvRoPose_FR3.py:334).
+
+    Accepts a torch ``.pth``/``.pt``/``.bin`` state dict (timm or HF naming)
+    or a ``.npz`` of the same keys. Tree structure and shapes are validated
+    against the initialized params so a config/checkpoint mismatch fails
+    loudly instead of silently training a half-random backbone.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvropose_tpu.models.dino_convert import convert_dino_state_dict
+
+    p = str(ckpt_path)
+    if p.endswith(".npz"):
+        sd = dict(np.load(p))
+    else:
+        from mvropose_tpu.models.dino_convert import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(p)
+    converted = convert_dino_state_dict(
+        sd, vit_cfg.num_layers, vit_cfg.num_heads, vit_cfg.hidden_size
+    )
+    init_bb = variables["params"]["backbone"]
+    init_paths = {jax.tree_util.keystr(k): v.shape
+                  for k, v in jax.tree_util.tree_leaves_with_path(init_bb)}
+    conv_paths = {jax.tree_util.keystr(k): np.shape(v)
+                  for k, v in jax.tree_util.tree_leaves_with_path(converted)}
+    if init_paths.keys() != conv_paths.keys():
+        missing = sorted(init_paths.keys() - conv_paths.keys())
+        extra = sorted(conv_paths.keys() - init_paths.keys())
+        raise ValueError(
+            f"backbone checkpoint structure mismatch: missing={missing[:5]} "
+            f"extra={extra[:5]} (check --hidden-size/--num-layers/"
+            f"--register-tokens/--backbone-native-size)"
+        )
+    bad = [k for k in init_paths if init_paths[k] != tuple(conv_paths[k])]
+    if bad:
+        raise ValueError(
+            f"backbone checkpoint shape mismatch at {bad[:5]}: "
+            f"{[(init_paths[k], conv_paths[k]) for k in bad[:5]]}"
+        )
+    grafted = jax.tree_util.tree_map(
+        lambda init, w: jnp.asarray(w, init.dtype), init_bb, converted
+    )
+    out = dict(variables)
+    out["params"] = dict(variables["params"])
+    out["params"]["backbone"] = grafted
+    return out
+
+
 def _cmd_train(args) -> int:
     import pandas as pd
     import jax
@@ -361,25 +415,35 @@ def _cmd_train(args) -> int:
     train_ds, val_ds = builders.train_val_split(ds, args.val_split)
     print(f"dataset: {len(train_ds)} train / {len(val_ds)} val")
 
+    # The backbone's native grid may differ from the run resolution: converted
+    # DINO checkpoints keep their pretraining pos-embed grid (e.g. 518/14) and
+    # ViTBackbone interpolates at apply time (torch-exact bicubic), exactly as
+    # the reference runs timm's 518-native ViT at 512 (MvRoPose_FR3.py:334).
     vit = ViTConfig(
-        image_size=args.model_size, patch_size=16,
+        image_size=args.backbone_native_size or args.model_size,
+        patch_size=args.patch_size,
         hidden_size=args.hidden_size, num_layers=args.num_layers,
-        num_heads=args.hidden_size // 64, dtype="bfloat16",
+        num_heads=args.hidden_size // 64,
+        num_register_tokens=args.register_tokens,
+        dtype="bfloat16",
     )
+    freeze = not args.no_freeze_backbone
     n_kp = rig.num_keypoints
     cfg = EstimatorConfig(
         vit=vit, num_joints=n_kp, num_angles=rig.robot.n_joints,
         heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
+        freeze_backbone=freeze,
     )
     model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
 
-    mesh = make_mesh()
+    mesh = make_mesh(*args.mesh) if args.mesh else make_mesh()
     tcfg = TrainConfig(
         num_epochs=args.epochs,
         steps_per_epoch=max(1, len(train_ds) // args.batch_size),
         lr_kpt=args.lr_kpt, lr_ang=args.lr_ang,
         loss_weight_kpt=args.loss_weight_kpt,
         loss_weight_fk=args.fk_loss_weight,
+        freeze_backbone=freeze,
     )
     from mvropose_tpu.data.augment import AugmentConfig
 
@@ -432,6 +496,9 @@ def _cmd_train(args) -> int:
     else:
         variables = model.init(jax.random.PRNGKey(0), first["images"])
         step = make_single_view_train_step(tcfg, mesh, robot=rig.robot)
+    if args.backbone_ckpt:
+        variables = _graft_backbone_ckpt(variables, args.backbone_ckpt, vit)
+        print(f"loaded backbone weights from {args.backbone_ckpt}")
     state = create_train_state(model, variables, tcfg)
     eval_step = make_eval_step(tcfg, multi_view, mesh)
 
@@ -1131,6 +1198,24 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--single-view", action="store_true")
     pt.add_argument("--no-augment", action="store_true")
     pt.add_argument("--fk-loss-weight", type=float, default=0.0)
+    pt.add_argument("--backbone-ckpt", default=None,
+                    help="converted DINO weights (.pth/.pt/.bin torch state "
+                         "dict or .npz) grafted into the ViT backbone - the "
+                         "reference's frozen-pretrained workflow")
+    pt.add_argument("--no-freeze-backbone", action="store_true",
+                    help="train the backbone too (default: frozen, like the "
+                         "reference's DINOv2/v3 usage)")
+    pt.add_argument("--patch-size", type=int, default=16)
+    pt.add_argument("--register-tokens", type=int, default=0,
+                    help="DINOv3-style register tokens (vitb16: 4)")
+    pt.add_argument("--backbone-native-size", type=int, default=None,
+                    help="checkpoint's native image size when it differs from "
+                         "--model-size (e.g. 518 for timm DINOv2); pos-embeds "
+                         "interpolate at apply time")
+    pt.add_argument("--mesh", type=int, nargs=2, default=None,
+                    metavar=("DATA", "MODEL"),
+                    help="device mesh shape (default: all devices on the "
+                         "data axis)")
     pt.add_argument("--viz-every", type=int, default=10, help="save prediction panels every N epochs")
     pt.add_argument("--wandb", action="store_true")
     pt.add_argument("--seed", type=int, default=0)

@@ -539,3 +539,108 @@ def test_cli_fr3_single_view_train(tmp_path):
     assert rc == 0
     rec = json.loads((workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()[-1])
     assert np.isfinite(rec["val_loss"])
+
+
+@pytest.mark.slow
+def test_cli_train_with_backbone_ckpt(tmp_path):
+    """--backbone-ckpt grafts converted DINO weights into the backbone (the
+    reference's frozen-pretrained workflow, DREAM_Train.py:137): a timm-style
+    state dict at a DIFFERENT native size (96px grid) trains at 64px through
+    the apply-time pos-embed interpolation, and because the backbone is
+    frozen, the exported best params must equal the converted checkpoint."""
+    import json as _json
+
+    from mvropose_tpu.models.dino_convert import convert_dino_state_dict
+    from mvropose_tpu.models.vit import ViTConfig
+    from tests.test_dino_convert import make_timm_state_dict
+
+    native = ViTConfig(
+        image_size=96, patch_size=16, hidden_size=64, num_layers=1,
+        num_heads=1, num_register_tokens=2, layerscale_init=1e-5,
+        dtype="float32",
+    )
+    rng = np.random.default_rng(7)
+    sd = make_timm_state_dict(rng, native)
+    ckpt = tmp_path / "dino_tiny.npz"
+    np.savez(ckpt, **sd)
+
+    img_dir = tmp_path / "image"
+    ang_dir = tmp_path / "angle"
+    ang_dir.mkdir()
+    import cv2
+
+    img_dir.mkdir()
+    r = np.random.default_rng(1)
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"image{i}.jpg"),
+                    r.integers(0, 255, size=(60, 80, 3)).astype(np.uint8))
+        (ang_dir / f"angle{i}.json").write_text(
+            _json.dumps([float(10 * i), -20.0, 30.0, 0.0, 45.0, 0.0]))
+    csv = tmp_path / "m.csv"
+    main(["sync", "meca500", "--base-dirs", str(img_dir), "--joint-dir", str(ang_dir),
+          "--out", str(csv)])
+    conf = tmp_path / "SN.conf"
+    conf.write_text(CONF_TEXT)
+    calib_dir = tmp_path / "calib"
+    main(["calibrate", "intrinsics", "--conf", str(conf), "--serial", "41182735",
+          "--view", "front", "--resolution", "FHD", "--out-dir", str(calib_dir)])
+    summary = tmp_path / "s.json"
+    main(["calibrate", "manual", "--view", "front", "--cam", "leftcam",
+          "--tvec", "0", "-0.01", "0.75", "--rvec-deg", "96", "98", "-45",
+          "--out", str(summary)])
+
+    workdir = tmp_path / "run"
+    rc = main([
+        "train", "--robot", "meca500", "--csv", str(csv),
+        "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+        "--workdir", str(workdir), "--image-hw", "60", "80",
+        "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+        "--patch-size", "16", "--register-tokens", "2",
+        "--backbone-native-size", "96", "--backbone-ckpt", str(ckpt),
+        "--batch-size", "2", "--epochs", "1", "--val-split", "0.5", "--no-augment",
+    ])
+    assert rc == 0
+
+    # Frozen backbone => exported best params carry the checkpoint verbatim.
+    converted = convert_dino_state_dict(sd, 1, 1, 64)
+    exported = np.load(workdir / "best_params.npz")
+    flat = {}
+    import jax
+
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(converted)[0]:
+        name = "backbone/" + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        flat[name] = np.asarray(leaf)
+    checked = 0
+    for name, want in flat.items():
+        np.testing.assert_allclose(exported[name], want.astype(np.float32),
+                                   rtol=0, atol=0, err_msg=name)
+        checked += 1
+    assert checked > 10
+
+
+def test_graft_backbone_ckpt_rejects_mismatch(tmp_path):
+    """A checkpoint whose architecture disagrees with the flags must fail
+    loudly, not train a half-random backbone."""
+    import jax
+
+    from mvropose_tpu.cli.main import _graft_backbone_ckpt
+    from mvropose_tpu.models.vit import ViTBackbone, ViTConfig
+    from tests.test_dino_convert import make_timm_state_dict
+
+    cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64, num_layers=2,
+                    num_heads=1, num_register_tokens=0, layerscale_init=1e-5,
+                    dtype="float32")
+    rng = np.random.default_rng(3)
+    wrong = ViTConfig(image_size=32, patch_size=16, hidden_size=64, num_layers=1,
+                      num_heads=1, num_register_tokens=2, layerscale_init=1e-5,
+                      dtype="float32")
+    sd = make_timm_state_dict(rng, wrong)
+    ckpt = tmp_path / "bad.npz"
+    np.savez(ckpt, **sd)
+
+    bb = ViTBackbone(cfg)
+    variables = {"params": {"backbone": bb.init(
+        jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))["params"]}}
+    with pytest.raises((ValueError, KeyError)):
+        _graft_backbone_ckpt(variables, ckpt, cfg)
