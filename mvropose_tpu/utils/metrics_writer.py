@@ -31,7 +31,12 @@ class MetricWriter:
 
     def write(self, step: int, metrics: Mapping[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
-        rec.update({k: float(v) for k, v in metrics.items()})
+        # Scalars become floats; small vectors (e.g. per-joint MAE) stay as
+        # JSON lists.
+        rec.update({
+            k: [float(x) for x in v] if isinstance(v, (list, tuple)) else float(v)
+            for k, v in metrics.items()
+        })
         self._file.write(json.dumps(rec) + "\n")
         self._file.flush()
         if self._wandb is not None:

@@ -80,6 +80,11 @@ def main() -> None:
                    "a finite pool is what lets the angle head converge.")
     p.add_argument("--lr-ang", type=float, default=None,
                    help="angle-group lr (defaults to --lr)")
+    p.add_argument("--fk-loss-weight", type=float, default=0.0,
+                   help="differentiable FK-consistency loss weight (single "
+                        "mode): puts the angle gradient in keypoint-pixel "
+                        "space, which conditions the weakly-observable "
+                        "joints far better than the huber angle loss alone")
     p.add_argument("--views", type=int, default=3)
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -125,7 +130,18 @@ def main() -> None:
             robot, rig_arrs, key, n,
             image_hw=(args.image_size, args.image_size), heatmap_hw=(hm, hm),
         )
-        return single_view_batch(mv) if single else mv
+        b = single_view_batch(mv) if single else mv
+        if single and args.fk_loss_weight > 0:
+            # Per-sample camera/extrinsic fields for the differentiable
+            # FK-consistency loss (same rig arrays the renderer projected
+            # through; no base rotation in the synthetic world frame).
+            K_rig, rv_rig, tv_rig = rig_arrs
+            Km = K_rig if K_rig.ndim == 2 else K_rig[0]
+            b["rvec"] = jnp.tile(rv_rig[0][None], (n, 1))
+            b["tvec"] = jnp.tile(tv_rig[0][None], (n, 1))
+            b["K"] = jnp.tile(Km[None], (n, 1, 1))
+            b["base_rotation"] = jnp.tile(jnp.eye(3)[None], (n, 1, 1))
+        return b
 
     def make_batch(key):
         return make_batch_sized(key, args.batch)
@@ -157,6 +173,7 @@ def main() -> None:
         lr_kpt=args.lr,
         lr_ang=args.lr_ang if args.lr_ang is not None else args.lr,
         loss_weight_kpt=100.0,
+        loss_weight_fk=args.fk_loss_weight,
         freeze_backbone=False,
     )
 
@@ -178,7 +195,8 @@ def main() -> None:
             )
     variables = jax.device_put(variables, jax.devices()[0])
     train_step = (
-        make_single_view_train_step(tcfg) if single else make_multi_view_train_step(tcfg)
+        make_single_view_train_step(tcfg, robot=robot)
+        if single else make_multi_view_train_step(tcfg)
     )
     state = create_train_state(model, variables, tcfg)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -207,8 +225,16 @@ def main() -> None:
         add_m = add_metric(fk_pred, batch["keypoints_3d"])
         auc = add_auc(fk_pred, batch["keypoints_3d"], max_threshold_m=0.10)
         mae = angle_mae(pred_ang, batch["angles"])
+        # Per-joint MAE: FR5 joint 6 is a pure wrist roll that moves NO
+        # joint-origin keypoint (FK jacobian column is exactly zero), so it
+        # is information-theoretically unlearnable from blob keypoints and
+        # pins the aggregate MAE; joints 4-5 are ~10x less keypoint-
+        # sensitive than 1-3. Reporting per joint separates "didn't learn"
+        # from "cannot be learned from this rendering".
+        mae_per = jnp.mean(jnp.abs(pred_ang - batch["angles"]), axis=0)
         out = {"pck5": pck5, "pck_tight": pck2, "add_m": add_m,
-               "add_auc_10cm": auc, "angle_mae": mae}
+               "add_auc_10cm": auc, "angle_mae": mae,
+               "angle_mae_per_joint": mae_per}
         if not single:
             # Triangulated ADD: decoded 2D keypoints from all views -> DLT
             # triangulation through the rig's calibrated extrinsics -> 3D
@@ -231,7 +257,11 @@ def main() -> None:
 
     def run_eval(state, batches=None):
         ms = [eval_metrics(state, b) for b in (batches or eval_batches)]
-        return {k: float(np.mean([float(m[k]) for m in ms])) for k in ms[0]}
+        out = {}
+        for k in ms[0]:
+            avg = np.mean(np.stack([np.asarray(m[k]) for m in ms]), axis=0)
+            out[k] = avg.round(4).tolist() if avg.ndim else float(avg)
+        return out
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
