@@ -60,23 +60,32 @@ def main() -> None:
     use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def serve_step(images, view_ids, view_mask):
-        heatmaps, angles = model.apply(variables, images, view_ids, view_mask)
+    def serve_step(images, view_ids, view_mask, eps):
+        # eps (device scalar from the previous iteration's output) serializes
+        # chained calls: through the tunneled-TPU (axon) backend
+        # jax.block_until_ready does NOT synchronize, so honest timing needs
+        # a real data dependency between iterations plus one final host fetch.
+        heatmaps, angles = model.apply(variables, images + eps, view_ids, view_mask)
         xy, conf = decode_keypoints(
             heatmaps, image_hw=(720, 1280), mode="argmax", use_pallas=use_pallas
         )
         return xy, conf, angles
 
-    # Warmup / compile.
-    out = serve_step(images, view_ids, view_mask)
-    jax.block_until_ready(out)
+    def run_chain(n):
+        """n chained steps ending in a scalar fetch; returns wall seconds."""
+        eps = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            xy, conf, angles = serve_step(images, view_ids, view_mask, eps)
+            eps = jnp.reshape(conf, (-1,))[0] * 1e-12  # tiny but nonzero: no constant folding
+        float(jax.device_get(eps))  # forces the whole chain
+        return time.perf_counter() - t0
 
+    run_chain(2)  # warmup / compile
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = serve_step(images, view_ids, view_mask)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    t1 = min(run_chain(1) for _ in range(3))
+    tn = min(run_chain(iters + 1) for _ in range(3))
+    dt = tn - t1  # per-call tunnel round-trip removed by differencing
 
     fps = iters * B / dt
     print(

@@ -38,14 +38,23 @@ PEAK_BF16 = {
 
 def peak_flops(device) -> float | None:
     kind = getattr(device, "device_kind", "")
-    for name, peak in PEAK_BF16.items():
+    # Longest-prefix match: "TPU v5 lite" must not fall through to "TPU v5".
+    for name in sorted(PEAK_BF16, key=len, reverse=True):
         if kind.startswith(name) or name in kind:
-            return peak
+            return PEAK_BF16[name]
     return None
 
 
 def bench_step(step_fn, state, batch, rng, iters: int = 10):
-    """Compile, measure wall time per step, and pull XLA's flop count."""
+    """Compile, measure wall time per step, and pull XLA's flop count.
+
+    Through the tunneled-TPU (axon) backend `jax.block_until_ready` does NOT
+    synchronize (measured: 0.03 ms for a chain of 4k matmuls), so timing must
+    end with a host fetch of a device scalar. The per-call round-trip
+    (~30 ms tunnel latency) is removed by differencing a 1-step and an
+    (iters+1)-step chained run; steps are serialized through the donated
+    train-state dependency, so the difference is pure step time.
+    """
     import jax
 
     lowered = step_fn.lower(state, batch, rng)
@@ -55,14 +64,18 @@ def bench_step(step_fn, state, batch, rng, iters: int = 10):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0))
 
-    state, m = compiled(state, batch, rng)  # warmup (donated state flows through)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = compiled(state, batch, rng)
-    jax.block_until_ready(m)
-    dt = (time.perf_counter() - t0) / iters
-    return dt, flops, float(m["loss"])
+    def run_chain(state, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = compiled(state, batch, rng)
+        loss = float(jax.device_get(m["loss"]))  # forces the whole chain
+        return time.perf_counter() - t0, state, loss
+
+    _, state, _ = run_chain(state, 1)  # warmup
+    t1, state, _ = run_chain(state, 1)
+    tn, state, loss = run_chain(state, iters + 1)
+    dt = (tn - t1) / iters
+    return dt, flops, loss
 
 
 def main() -> None:

@@ -27,14 +27,26 @@ import jax.numpy as jnp
 from mvropose_tpu.ops.attention import fused_self_attention
 
 
-def bench(fn, *args, iters: int = 20) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def bench(fn, q, k, v, iters: int = 20) -> float:
+    """Chained timing with a final scalar fetch: through the tunneled-TPU
+    backend block_until_ready does NOT synchronize, so iterations are
+    serialized by feeding a scalar of iteration i into iteration i+1's
+    query, and the per-call dispatch round-trip is removed by differencing
+    1- vs (iters+1)-length chains (same pattern as bench.py)."""
+
+    def chain(n):
+        eps = jnp.zeros((), q.dtype)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(q + eps, k, v)
+            eps = jnp.reshape(out, (-1,))[0] * jnp.asarray(1e-12, q.dtype)
+        float(jax.device_get(eps).astype(jnp.float32))
+        return time.perf_counter() - t0
+
+    chain(2)  # warmup/compile
+    t1 = min(chain(1) for _ in range(3))
+    tn = min(chain(iters + 1) for _ in range(3))
+    return (tn - t1) / iters
 
 
 def main() -> None:
