@@ -883,7 +883,13 @@ def _cmd_serve(args) -> int:
                 cv2.remap(images[i], cv2_maps[i][0], cv2_maps[i][1], cv2.INTER_LINEAR)
                 for i in range(len(images))
             ])
-        return infer(jnp.asarray(images), jnp.asarray(mask))
+        out = infer(jnp.asarray(images), jnp.asarray(mask))
+        # Fetch results to host every tick: the app's consumers (display,
+        # robot control) live on host, and without the fetch the reported
+        # tick/s measures async dispatch, not completed inference (on the
+        # tunneled-TPU backend block_until_ready does not synchronize at
+        # all). The arrays are tiny (keypoints/confidences/angles).
+        return tuple(np.asarray(o) for o in out)
 
     # Live tiled display (the reference's cv2.imshow canvas loop,
     # DIP_REAL.py:218-271): skeleton overlays per camera, placeholder panels

@@ -142,7 +142,7 @@ class FusedMHA(nn.Module):
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, key_mask=None):
         from mvropose_tpu.ops.attention import fused_self_attention
 
         D = x.shape[-1]
@@ -153,7 +153,7 @@ class FusedMHA(nn.Module):
         q = proj("query")(x)
         k = proj("key")(x)
         v = proj("value")(x)
-        out = fused_self_attention(q, k, v)
+        out = fused_self_attention(q, k, v, key_mask=key_mask)
         return nn.DenseGeneral(
             features=D, axis=(-2, -1), dtype=self.dtype, name="out"
         )(out)

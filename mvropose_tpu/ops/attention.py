@@ -31,12 +31,20 @@ def fused_self_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     use_flash: bool | None = None,
+    key_mask: jnp.ndarray | None = None,  # (B, T) bool; False = key unattended
 ) -> jnp.ndarray:
-    """Self-attention returning (B, T, H, d); flash-fused on TPU."""
+    """Self-attention returning (B, T, H, d); flash-fused on TPU.
+
+    use_flash=None picks per shape from the MEASURED crossover
+    (scripts/bench_attention_fusion.py, v5e): XLA wins at the ViT-body shape
+    (T~1k), the Pallas flash kernel wins at the fused multi-view
+    self-attention shape - 2.3x at T=4104, B=4 - so flash engages on TPU at
+    T >= 2048.
+    """
     B, T, H, d = q.shape
     sm_scale = 1.0 / (d**0.5)
     if use_flash is None:
-        use_flash = False  # XLA wins at ViT-scale T; see module docstring.
+        use_flash = jax.default_backend() == "tpu" and T >= 2048
 
     if not use_flash:
         # Einsums stay in the native (B, T, H, d) layout - no materialized
@@ -46,6 +54,9 @@ def fused_self_attention(
         # (measured ~10% of the serve step); jnp.exp is computed with f32
         # internal precision on the VPU regardless.
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * sm_scale, k)
+        if key_mask is not None:
+            neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+            logits = jnp.where(key_mask[:, None, None, :], logits, neg)
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
@@ -66,9 +77,18 @@ def fused_self_attention(
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, pad), (0, 0)))
         kh = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
         vh = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        ids = (jnp.arange(T_pad) < T).astype(jnp.int32)  # pad tokens: segment 0
-        seg = jnp.broadcast_to(ids[None, :], (B, T_pad))
-        segment_ids = SegmentIds(q=seg, kv=seg)
+    if pad or key_mask is not None:
+        in_range = (jnp.arange(T_pad) < T).astype(jnp.int32)  # pad tokens: segment 0
+        q_seg = jnp.broadcast_to(in_range[None, :], (B, T_pad))
+        if key_mask is not None:
+            # Masked keys get segment 0 (== pad): no query of segment 1
+            # attends them. Masked-view QUERIES keep segment 1 and still
+            # attend valid keys - identical to flax MHA key-masking.
+            km = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, pad)))
+            kv_seg = q_seg * km
+        else:
+            kv_seg = q_seg
+        segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
     else:
         segment_ids = None
 

@@ -5,6 +5,12 @@ Replaces the reference's manual time.time() + cuda.synchronize() brackets
 scopes: under `StageTimer.stage(name)` the wall time (with a
 block_until_ready on the stage output) is accumulated, and the same names
 appear in jax.profiler traces via jax.named_scope.
+
+CAVEAT: on the tunneled-TPU (axon) backend `jax.block_until_ready` does NOT
+synchronize, so StageTimer numbers there measure dispatch only. For honest
+device timings in that environment use the chained-dependency + scalar-fetch
+pattern in bench.py/bench_train.py; on real (non-tunneled) TPU/CPU backends
+StageTimer is accurate.
 """
 
 from __future__ import annotations
