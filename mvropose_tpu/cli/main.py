@@ -432,7 +432,7 @@ def _cmd_train(args) -> int:
     cfg = EstimatorConfig(
         vit=vit, num_joints=n_kp, num_angles=rig.robot.n_joints,
         heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
-        freeze_backbone=freeze,
+        freeze_backbone=freeze, angle_head=args.angle_head,
     )
     model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
 
@@ -578,6 +578,7 @@ def _cmd_eval(args) -> int:
     cfg = EstimatorConfig(
         vit=vit, num_joints=rig.num_keypoints, num_angles=rig.robot.n_joints,
         heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
+        angle_head=args.angle_head,
     )
     model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
     pre = make_device_preprocessor(ds.geometry, args.model_size, rig.heatmap_size, rig.sigma)
@@ -753,7 +754,8 @@ def _cmd_serve(args) -> int:
 
         _r = _get_robot(args.pose_robot)
         n_joints, n_angles = _r.n_keypoints, _r.n_joints
-    cfg = EstimatorConfig(vit=vit, num_joints=n_joints, num_angles=n_angles, max_views=args.views)
+    cfg = EstimatorConfig(vit=vit, num_joints=n_joints, num_angles=n_angles,
+                          max_views=args.views, angle_head=args.angle_head)
     model = MultiViewPoseEstimator(cfg)
     shapes = jax.eval_shape(
         lambda k: model.init(
@@ -1211,6 +1213,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--no-freeze-backbone", action="store_true",
                     help="train the backbone too (default: frozen, like the "
                          "reference's DINOv2/v3 usage)")
+    pt.add_argument("--angle-head", choices=["query", "geometric"], default="query",
+                    help="query: reference-style token-attending head; "
+                         "geometric: soft-argmax of predicted heatmaps -> MLP "
+                         "(beyond-reference, better-conditioned)")
     pt.add_argument("--patch-size", type=int, default=16)
     pt.add_argument("--register-tokens", type=int, default=0,
                     help="DINOv3-style register tokens (vitb16: 4)")
@@ -1231,6 +1237,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"], required=True)
     pe.add_argument("--csv", nargs="+", required=True)
     pe.add_argument("--params", required=True, help="best_params.npz")
+    pe.add_argument("--angle-head", choices=["query", "geometric"], default="query")
     pe.add_argument("--calib-dir", default=None)
     pe.add_argument("--aruco-summary", nargs="*", default=None)
     pe.add_argument("--dream-dirs", nargs="*", default=None,
@@ -1285,6 +1292,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--num-layers", type=int, default=12)
     pv.add_argument("--duration", type=float, default=10.0)
     pv.add_argument("--params", default=None, help="best_params.npz from training")
+    pv.add_argument("--angle-head", choices=["query", "geometric"], default="query")
     pv.add_argument("--calib-dir", default=None)
     pv.add_argument("--camera-keys", default=None,
                     help="comma-separated '{view}_{cam}' per source for undistortion")

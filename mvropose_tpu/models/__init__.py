@@ -24,6 +24,7 @@ from mvropose_tpu.models.heads import (
 from mvropose_tpu.models.fusion import MultiViewFusion, SelfAttentionFusion, TransformerDecoderLayer
 from mvropose_tpu.models.estimator import (
     EstimatorConfig,
+    GeometricAngleHead,
     SingleViewPoseEstimator,
     MultiViewPoseEstimator,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "SelfAttentionFusion",
     "TransformerDecoderLayer",
     "EstimatorConfig",
+    "GeometricAngleHead",
     "SingleViewPoseEstimator",
     "MultiViewPoseEstimator",
 ]

@@ -41,10 +41,69 @@ class EstimatorConfig:
     num_angle_queries: int = 4
     freeze_backbone: bool = True
     dtype: str = "bfloat16"
+    # "query": the reference's token-attending transformer head
+    # (MvRoPose_FR3.py:355-402). "geometric": beyond-reference explicit
+    # geometric bottleneck - soft-argmax of the predicted heatmaps -> MLP
+    # (see GeometricAngleHead).
+    angle_head: str = "query"
 
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+
+class GeometricAngleHead(nn.Module):
+    """Angles from the model's OWN decoded keypoints.
+
+    Beyond-reference: the reference regresses angles from backbone tokens
+    through a query transformer (/root/reference/model/MvRoPose_FR3.py:355-402).
+    Measured on the synthetic task (PARITY.md dissection), the keypoint path
+    localizes ~perfectly thousands of steps before token-based angle
+    regression moves off the predict-the-mean floor, while an MLP on the
+    *decoded coordinates* solves observable joints to ~1 degree almost
+    immediately. This head inserts that explicit geometric bottleneck:
+    differentiable soft-argmax of the predicted heatmaps -> normalized
+    keypoint coordinates + confidences (masked per view in multi-view) ->
+    MLP. stop_gradient on the heatmaps keeps the angle loss from distorting
+    keypoint training (the optimizer groups already keep params disjoint).
+    """
+
+    num_angles: int
+    hidden: int = 256
+    depth: int = 3
+    temperature: float = 1.0
+    max_views: int = 0  # >0: multi-view; MLP input width is fixed at max_views
+
+    @nn.compact
+    def __call__(self, heatmaps, view_mask=None):
+        from mvropose_tpu.geometry.heatmap import soft_argmax_decode
+
+        hm = jax.lax.stop_gradient(heatmaps).astype(jnp.float32)
+        xy, conf = soft_argmax_decode(hm, self.temperature)  # (..., J, 2), (..., J)
+        h, w = hm.shape[-2], hm.shape[-1]
+        xy = xy / jnp.asarray([w - 1.0, h - 1.0], jnp.float32) * 2.0 - 1.0
+        feats = jnp.concatenate(
+            [xy.reshape(*xy.shape[:-2], -1), conf], axis=-1
+        )  # (B[, V], 3J)
+        if feats.ndim == 3:  # multi-view: zero masked views, append the mask
+            if view_mask is not None:
+                m = view_mask.astype(jnp.float32)[..., None]
+                feats = jnp.concatenate([feats * m, m], axis=-1)
+            else:
+                feats = jnp.concatenate(
+                    [feats, jnp.ones((*feats.shape[:2], 1), jnp.float32)], axis=-1
+                )
+            # Fixed input width regardless of runtime V: pad the view axis to
+            # max_views with zeros (identical to extra masked views), so the
+            # same params serve any padded batch width <= max_views.
+            V = feats.shape[1]
+            assert self.max_views >= V, (self.max_views, V)
+            feats = jnp.pad(feats, ((0, 0), (0, self.max_views - V), (0, 0)))
+            feats = feats.reshape(feats.shape[0], -1)  # (B, max_views*(3J+1))
+        x = feats
+        for i in range(self.depth):
+            x = nn.gelu(nn.Dense(self.hidden, dtype=jnp.float32, name=f"fc{i}")(x))
+        return nn.Dense(self.num_angles, dtype=jnp.float32, name="out")(x)
 
 
 class SingleViewPoseEstimator(nn.Module):
@@ -63,12 +122,15 @@ class SingleViewPoseEstimator(nn.Module):
         heatmaps = UNetViTKeypointHead(
             c.num_joints, c.heatmap_size, dtype=c.compute_dtype, name="keypoint_head"
         )(tokens, out["grid_hw"], stem_feats, train)
-        angles = JointAngleHead(
-            c.num_angles,
-            num_queries=c.num_angle_queries,
-            dtype=c.compute_dtype,
-            name="angle_head",
-        )(tokens, train=train)
+        if c.angle_head == "geometric":
+            angles = GeometricAngleHead(c.num_angles, name="angle_head")(heatmaps)
+        else:
+            angles = JointAngleHead(
+                c.num_angles,
+                num_queries=c.num_angle_queries,
+                dtype=c.compute_dtype,
+                name="angle_head",
+            )(tokens, train=train)
         return heatmaps, angles
 
 
@@ -112,13 +174,6 @@ class MultiViewPoseEstimator(nn.Module):
             name="fusion_module",
         )(view_tokens, view_mask, train)  # (B, Q, D)
 
-        angles = JointAngleHead(
-            c.num_angles,
-            num_queries=c.num_fusion_queries,
-            dtype=c.compute_dtype,
-            name="angle_head",
-        )(fused, train=train)
-
         # Per-view keypoint enrichment: each view's tokens attend the fused
         # scene summary, then decode to heatmaps. Runs folded over B*V.
         fused_per_view = jnp.repeat(fused, V, axis=0)  # (B*V, Q, D)
@@ -130,4 +185,16 @@ class MultiViewPoseEstimator(nn.Module):
         )(enriched, out["grid_hw"], stem_feats, train)
         Hm, Wm = c.heatmap_size
         heatmaps = heatmaps.reshape(B, V, c.num_joints, Hm, Wm)
+
+        if c.angle_head == "geometric":
+            angles = GeometricAngleHead(
+                c.num_angles, max_views=c.max_views, name="angle_head"
+            )(heatmaps, view_mask)
+        else:
+            angles = JointAngleHead(
+                c.num_angles,
+                num_queries=c.num_fusion_queries,
+                dtype=c.compute_dtype,
+                name="angle_head",
+            )(fused, train=train)
         return heatmaps, angles

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_model(mode: str, robot, image_size: int, on_tpu: bool):
+def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str = "query"):
     from mvropose_tpu.models import (
         EstimatorConfig,
         MultiViewPoseEstimator,
@@ -62,6 +62,7 @@ def build_model(mode: str, robot, image_size: int, on_tpu: bool):
         num_angle_queries=4,
         freeze_backbone=False,
         dtype=vit.dtype,
+        angle_head=angle_head,
     )
     model = (SingleViewPoseEstimator if mode == "single" else MultiViewPoseEstimator)(cfg)
     return model, cfg
@@ -80,6 +81,9 @@ def main() -> None:
                    "a finite pool is what lets the angle head converge.")
     p.add_argument("--lr-ang", type=float, default=None,
                    help="angle-group lr (defaults to --lr)")
+    p.add_argument("--angle-head", choices=("query", "geometric"), default="query",
+                   help="geometric = soft-argmax of predicted heatmaps -> MLP "
+                        "(beyond-reference head; see models.GeometricAngleHead)")
     p.add_argument("--fk-loss-weight", type=float, default=0.0,
                    help="differentiable FK-consistency loss weight (single "
                         "mode): puts the angle gradient in keypoint-pixel "
@@ -166,7 +170,7 @@ def main() -> None:
             idx = jax.random.randint(key, (args.batch,), 0, args.dataset_size)
             return jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), pool)
 
-    model, ecfg = build_model(args.mode, robot, args.image_size, on_tpu)
+    model, ecfg = build_model(args.mode, robot, args.image_size, on_tpu, args.angle_head)
     tcfg = TrainConfig(
         num_epochs=1,
         steps_per_epoch=args.steps,

@@ -138,3 +138,57 @@ def test_self_attention_fusion_mask_invariance(rng):
     mask3 = jnp.asarray([[True, True, False]])
     out3 = model.apply(variables, toks3, mask3)
     np.testing.assert_allclose(np.asarray(out3[:, :2]), np.asarray(out2), atol=1e-4)
+
+
+def test_geometric_angle_head_shapes(rng):
+    """Optional beyond-reference angle head: soft-argmax(heatmaps) -> MLP.
+    Single- and multi-view shapes, and the angle loss must leave the
+    keypoint path untouched (stop_gradient on the heatmaps)."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(TINY, angle_head="geometric")
+    sv = SingleViewPoseEstimator(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = sv.init(jax.random.PRNGKey(0), x)
+    hm, ang = sv.apply(variables, x)
+    assert hm.shape == (2, cfg.num_joints, *cfg.heatmap_size)
+    assert ang.shape == (2, cfg.num_angles)
+
+    def ang_loss(params):
+        _, a = sv.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, x
+        )
+        return jnp.sum(a**2)
+
+    grads = jax.grad(ang_loss)(variables["params"])
+    kpt_grad = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), grads["keypoint_head"], 0.0
+    )
+    head_grad = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), grads["angle_head"], 0.0
+    )
+    assert float(kpt_grad) == 0.0  # stop_gradient: angle loss can't distort heatmaps
+    assert float(head_grad) > 0.0
+
+
+def test_geometric_angle_head_multiview_mask_invariance(rng):
+    """Same exact-padding-invariance guarantee as the flagship head: garbage
+    masked views (and a different padded width V) change nothing."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(TINY, angle_head="geometric", max_views=8)
+    model = MultiViewPoseEstimator(cfg)
+    B, V = 1, 3
+    imgs = jnp.asarray(rng.normal(size=(B, V, 64, 64, 3)).astype(np.float32))
+    vids = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    mask3 = jnp.ones((B, V), dtype=bool)
+    variables = model.init(jax.random.PRNGKey(0), imgs, vids, mask3)
+    hm3, ang3 = model.apply(variables, imgs, vids, mask3)
+    assert ang3.shape == (B, cfg.num_angles)
+
+    garbage = jnp.asarray(rng.normal(size=(B, 2, 64, 64, 3)).astype(np.float32) * 50)
+    imgs5 = jnp.concatenate([imgs, garbage], axis=1)
+    vids5 = jnp.asarray([[0, 1, 2, 3, 4]], dtype=jnp.int32)
+    mask5 = jnp.asarray([[True, True, True, False, False]])
+    hm5, ang5 = model.apply(variables, imgs5, vids5, mask5)
+    np.testing.assert_allclose(np.asarray(ang5), np.asarray(ang3), atol=1e-4)
