@@ -644,3 +644,45 @@ def test_graft_backbone_ckpt_rejects_mismatch(tmp_path):
         jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32))["params"]}}
     with pytest.raises((ValueError, KeyError)):
         _graft_backbone_ckpt(variables, ckpt, cfg)
+
+
+@pytest.mark.slow
+def test_cli_train_eval_geometric_angle_head(tmp_path):
+    """--angle-head geometric wires through train AND eval (the eval model is
+    rebuilt from flags, so a mismatch would fail the params load loudly)."""
+    import json as _json
+
+    import cv2
+
+    img_dir = tmp_path / "image"
+    ang_dir = tmp_path / "angle"
+    img_dir.mkdir(), ang_dir.mkdir()
+    r = np.random.default_rng(5)
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"image{i}.jpg"),
+                    r.integers(0, 255, size=(60, 80, 3)).astype(np.uint8))
+        (ang_dir / f"angle{i}.json").write_text(
+            _json.dumps([float(10 * i), -20.0, 30.0, 0.0, 45.0, 0.0]))
+    csv = tmp_path / "m.csv"
+    main(["sync", "meca500", "--base-dirs", str(img_dir), "--joint-dir", str(ang_dir),
+          "--out", str(csv)])
+    conf = tmp_path / "SN.conf"
+    conf.write_text(CONF_TEXT)
+    calib_dir = tmp_path / "calib"
+    main(["calibrate", "intrinsics", "--conf", str(conf), "--serial", "41182735",
+          "--view", "front", "--resolution", "FHD", "--out-dir", str(calib_dir)])
+    summary = tmp_path / "s.json"
+    main(["calibrate", "manual", "--view", "front", "--cam", "leftcam",
+          "--tvec", "0", "-0.01", "0.75", "--rvec-deg", "96", "98", "-45",
+          "--out", str(summary)])
+
+    workdir = tmp_path / "run"
+    common = ["--robot", "meca500", "--csv", str(csv), "--calib-dir", str(calib_dir),
+              "--aruco-summary", str(summary), "--image-hw", "60", "80",
+              "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+              "--batch-size", "2", "--angle-head", "geometric"]
+    rc = main(["train", *common, "--workdir", str(workdir),
+               "--epochs", "1", "--val-split", "0.5", "--no-augment"])
+    assert rc == 0
+    rc = main(["eval", *common, "--params", str(workdir / "best_params.npz")])
+    assert rc == 0
