@@ -39,7 +39,6 @@ def main() -> None:
 
     from __graft_entry__ import _flagship_cfg
     from mvropose_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
-    from mvropose_tpu.decode import decode_keypoints
     from mvropose_tpu.geometry.camera import undistort_map
     from mvropose_tpu.geometry.robots import get_robot
     from mvropose_tpu.models import MultiViewPoseEstimator

@@ -91,7 +91,7 @@ def main() -> None:
         MultiViewPoseEstimator,
         SingleViewPoseEstimator,
     )
-    from mvropose_tpu.models.vit import VIT_B16, ViTConfig
+    from mvropose_tpu.models.vit import VIT_B16
     import dataclasses
     from mvropose_tpu.geometry.heatmap import render_heatmaps
     from mvropose_tpu.train import (
