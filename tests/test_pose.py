@@ -132,3 +132,49 @@ def test_recover_pose_batch_jitted():
     for i in range(3):
         t_err = np.linalg.norm(np.asarray(out["tvec"][i]) - tvecs[i])
         assert t_err < 0.12, (i, t_err)
+
+
+def test_triangulated_frame_is_base_rotated_fk():
+    """The eval's triangulated-ADD frame fix, as geometry: GT keypoints are
+    projected through base_rotation @ FK (data/dataset.py gt_keypoints), so
+    points triangulated back from those views live in the BASE-ROTATED FK
+    frame - comparing against raw FK (the round-1 bug) reports ~0.5 m of
+    garbage while fk @ base.T matches at centimeter level."""
+    rng = np.random.default_rng(5)
+    angles = rng.uniform(-1.0, 1.0, size=7)
+    fk = np.asarray(forward_kinematics(FR3, jnp.asarray(angles, jnp.float32)))
+    base = np.asarray(FR3.base_rotation("view1"))
+    pts_world = fk @ base.T  # rows: base @ p (the ArUco world frame)
+
+    rvecs, tvecs, maps = [], [], []
+    for i in range(4):
+        rvec = np.array([0.1 * i, 0.5 * i - 0.7, 0.05])
+        tvec = np.array([0.2 * i - 0.3, 0.05, 1.9])
+        px = np.asarray(
+            project_points(
+                jnp.asarray(pts_world, jnp.float32),
+                jnp.asarray(rvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+                jnp.asarray(K, jnp.float32), None,
+            )
+        )
+        kp_hm = px * np.array([HM / IMG_HW[1], HM / IMG_HW[0]])
+        hm = np.asarray(render_heatmaps(jnp.asarray(kp_hm, jnp.float32), HM, HM, sigma=2.0))
+        maps.append(hm * 6.0 - 3.0)
+        rvecs.append(rvec)
+        tvecs.append(tvec)
+
+    pts3d, obs = recover_pose_multiview(
+        jnp.asarray(np.stack(maps), jnp.float32),
+        jnp.ones(4, dtype=bool),
+        jnp.asarray(np.stack(rvecs), jnp.float32),
+        jnp.asarray(np.stack(tvecs), jnp.float32),
+        jnp.asarray(np.stack([K] * 4), jnp.float32),
+        IMG_HW,
+    )
+    got = np.asarray(pts3d)
+    ob = np.asarray(obs) > 0
+    assert ob.sum() >= 6
+    err_rotated = np.linalg.norm(got - pts_world, axis=-1)[ob]
+    err_raw_fk = np.linalg.norm(got - fk, axis=-1)[ob]
+    assert np.median(err_rotated) < 0.05       # correct frame: cm-level
+    assert np.median(err_raw_fk) > 5 * np.median(err_rotated)  # the bug's frame
