@@ -10,7 +10,12 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from mvropose_tpu.geometry.heatmap import argmax_decode, soft_argmax_decode, scale_keypoints
+from mvropose_tpu.geometry.heatmap import (
+    argmax_decode,
+    peak_refine_decode,
+    soft_argmax_decode,
+    scale_keypoints,
+)
 from mvropose_tpu.ops.peak_decode import fused_peak_decode
 
 
@@ -23,11 +28,16 @@ def decode_keypoints(
 ):
     """Decode heatmaps (..., J, H, W) -> (keypoints_xy (..., J, 2), conf (..., J)).
 
-    mode: "argmax" (reference-parity hard peak) or "soft" (subpixel).
+    mode: "argmax" (reference-parity hard peak), "soft" (full-map subpixel
+    soft-argmax), or "refine" (argmax + peak-local softmax centroid - the
+    recommended subpixel mode; see peak_refine_decode for why full-map soft
+    is biased on logit heatmaps).
     image_hw: optionally rescale coords from heatmap space to image space
     (the reference's decode always rescales, e.g. DIP_REAL.py:120-123).
     """
-    if use_pallas:
+    if mode == "refine":
+        xy, conf = peak_refine_decode(heatmaps, temperature=temperature)
+    elif use_pallas:
         out = fused_peak_decode(heatmaps, temperature=temperature)
         xy = out["argmax_xy"] if mode == "argmax" else out["soft_xy"]
         conf = out["confidence"]

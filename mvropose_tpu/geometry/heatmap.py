@@ -80,6 +80,40 @@ def soft_argmax_decode(
     return jnp.stack([x, y], axis=-1), peak
 
 
+def peak_refine_decode(
+    heatmaps: jnp.ndarray,
+    window: int = 2,
+    temperature: float = 1.0,
+    apply_sigmoid: bool = True,
+):
+    """Subpixel decode: hard argmax + softmax centroid over a local window.
+
+    Full-map soft-argmax (`soft_argmax_decode`) is biased toward the image
+    center on logit heatmaps: the diffuse background carries more total
+    softmax mass than the peak unless the logit scale is large (measured in
+    test_pose_error_metrics_on_perfect_heatmaps - it *worsens* recovered pose
+    vs hard argmax). Restricting the expectation to a (2*window+1)^2
+    neighborhood of the argmax keeps the subpixel precision and removes the
+    background pull at any logit scale. Static shapes, fully vectorized (the
+    window mask is a broadcasted comparison, no gathers).
+    """
+    xy0, conf = argmax_decode(heatmaps, apply_sigmoid)
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    in_x = jnp.abs(xs.reshape(1, -1) - xy0[..., 0, None, None]) <= window
+    in_y = jnp.abs(ys.reshape(-1, 1) - xy0[..., 1, None, None]) <= window
+    in_win = in_x & in_y  # (..., J, H, W)
+    logits = jnp.where(in_win, heatmaps * temperature, -jnp.inf)
+    flat = logits.reshape(*logits.shape[:-2], h * w)
+    probs = jax.nn.softmax(flat, axis=-1)
+    grid_x = jnp.tile(xs, h)
+    grid_y = jnp.repeat(ys, w)
+    x = jnp.sum(probs * grid_x, axis=-1)
+    y = jnp.sum(probs * grid_y, axis=-1)
+    return jnp.stack([x, y], axis=-1), conf
+
+
 def scale_keypoints(
     keypoints: jnp.ndarray, from_hw: tuple[int, int], to_hw: tuple[int, int]
 ) -> jnp.ndarray:

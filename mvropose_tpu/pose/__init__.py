@@ -99,7 +99,8 @@ def recover_pose_single_view(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("robot", "image_hw", "n_hypotheses", "use_pallas")
+    jax.jit,
+    static_argnames=("robot", "image_hw", "n_hypotheses", "use_pallas", "decode_mode"),
 )
 def recover_pose_batch(
     heatmaps: jnp.ndarray,  # (V, J, Hm, Wm) raw logits, one per camera
@@ -112,6 +113,7 @@ def recover_pose_batch(
     key: jax.Array | None = None,
     n_hypotheses: int = 16,
     use_pallas: bool = False,
+    decode_mode: str = "argmax",
 ):
     """Fully-jitted per-camera 6D pose recovery for a whole rig tick.
 
@@ -120,9 +122,18 @@ def recover_pose_batch(
     (Fr5_model_train.ipynb cell 14 main loop). Returns dict with rvec (V, 3),
     tvec (V, 3), n_inliers (V,), success (V,), keypoints_xy (V, J, 2),
     confidence (V, J).
+
+    decode_mode "argmax" is the reference-parity hard peak; "refine" is the
+    subpixel peak-local softmax centroid — at 128px heatmaps for a 1280x720
+    image the hard peak quantizes to 10 image px, which caps pose accuracy
+    well above what the model's heatmaps support (measured in
+    test_pose_error_metrics_on_perfect_heatmaps: refine cuts recovered-pose
+    error ~3x on exact heatmaps).
     """
     V = heatmaps.shape[0]
-    xy, conf = decode_keypoints(heatmaps, image_hw=image_hw, use_pallas=use_pallas)
+    xy, conf = decode_keypoints(
+        heatmaps, image_hw=image_hw, mode=decode_mode, use_pallas=use_pallas
+    )
     weights = (conf >= confidence_threshold).astype(jnp.float32)  # (V, J)
     if key is None:
         key = jax.random.PRNGKey(0)

@@ -6,7 +6,14 @@ from mvropose_tpu.train.losses import (
     smooth_l1_loss,
     fk_consistency_loss,
 )
-from mvropose_tpu.train.metrics import pck_at_k, add_metric, add_auc, angle_mae
+from mvropose_tpu.train.metrics import (
+    pck_at_k,
+    add_metric,
+    add_auc,
+    angle_mae,
+    pose_rotation_err_deg,
+    pose_translation_err_m,
+)
 from mvropose_tpu.train.state import TrainState, create_train_state, TrainConfig
 from mvropose_tpu.train.step import (
     make_single_view_train_step,
@@ -23,6 +30,8 @@ __all__ = [
     "add_metric",
     "add_auc",
     "angle_mae",
+    "pose_rotation_err_deg",
+    "pose_translation_err_m",
     "TrainState",
     "TrainConfig",
     "create_train_state",

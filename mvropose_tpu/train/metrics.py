@@ -7,6 +7,7 @@ here from day one so every eval run reports them.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -54,3 +55,35 @@ def add_auc(
 
 def angle_mae(pred_angles: jnp.ndarray, gt_angles: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred_angles - gt_angles))
+
+
+def pose_rotation_err_deg(
+    rvec_pred: jnp.ndarray,  # (..., 3) Rodrigues, radians
+    rvec_gt: jnp.ndarray,
+) -> jnp.ndarray:
+    """Geodesic rotation error between recovered and GT camera pose, degrees.
+
+    The reference's headline serve output is the PnP-recovered camera pose
+    (/root/reference/model/Fr5_model_train.ipynb cell 14, estimate_camera_pose
+    -> rvec/tvec) but it only ever eyeballs reprojection overlays; this metric
+    quantifies it: angle of R_pred^T R_gt via the trace identity, numerically
+    clamped. Broadcasts over leading axes.
+    """
+    from mvropose_tpu.geometry.rotations import rodrigues_to_matrix
+
+    shape = jnp.broadcast_shapes(rvec_pred.shape, rvec_gt.shape)
+    rp = jnp.broadcast_to(rvec_pred, shape).reshape(-1, 3)
+    rg = jnp.broadcast_to(rvec_gt, shape).reshape(-1, 3)
+    Rp = jax.vmap(rodrigues_to_matrix)(rp)  # (N, 3, 3)
+    Rg = jax.vmap(rodrigues_to_matrix)(rg)
+    rel_trace = jnp.einsum("nij,nij->n", Rp, Rg)  # trace(Rp^T Rg)
+    cos = jnp.clip((rel_trace - 1.0) / 2.0, -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos)).reshape(shape[:-1])
+
+
+def pose_translation_err_m(
+    tvec_pred: jnp.ndarray,  # (..., 3) meters
+    tvec_gt: jnp.ndarray,
+) -> jnp.ndarray:
+    """Euclidean camera-translation error in meters (broadcasts)."""
+    return jnp.linalg.norm(tvec_pred - tvec_gt, axis=-1)

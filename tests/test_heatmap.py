@@ -69,3 +69,20 @@ def test_scale_keypoints():
     kp = jnp.asarray([[64.0, 32.0]])
     out = np.asarray(hm.scale_keypoints(kp, (128, 128), (720, 1280)))
     np.testing.assert_allclose(out, [[64 * 10.0, 32 * 720 / 128]])
+
+
+def test_peak_refine_decode_subpixel(rng):
+    """Peak-windowed refinement recovers subpixel positions on LOGIT maps
+    (background far below zero), where full-map soft-argmax is biased toward
+    the image center by the background's softmax mass."""
+    kps = rng.uniform(20, 100, size=(5, 2)).astype(np.float32)
+    maps = hm.render_heatmaps(jnp.asarray(kps), 128, 128, sigma=2.0)
+    logits = maps * 6.0 - 3.0  # peak ~ +3, background ~ -3
+    xy_ref, conf = hm.peak_refine_decode(logits, apply_sigmoid=False)
+    np.testing.assert_allclose(np.asarray(xy_ref), kps, atol=0.25)
+    # conf matches the hard-argmax peak value semantics.
+    np.testing.assert_allclose(np.asarray(conf), np.asarray(logits).max((-2, -1)), atol=1e-5)
+    xy_soft, _ = hm.soft_argmax_decode(logits, apply_sigmoid=False)
+    err_soft = np.linalg.norm(np.asarray(xy_soft) - kps, axis=-1)
+    err_ref = np.linalg.norm(np.asarray(xy_ref) - kps, axis=-1)
+    assert err_ref.max() < err_soft.min()  # refinement beats full-map soft everywhere

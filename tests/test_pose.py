@@ -134,6 +134,74 @@ def test_recover_pose_batch_jitted():
         assert t_err < 0.12, (i, t_err)
 
 
+def test_pose_error_metrics_math():
+    """pose_rotation_err_deg / pose_translation_err_m: exact closed-form cases."""
+    from mvropose_tpu.train.metrics import pose_rotation_err_deg, pose_translation_err_m
+
+    rv = jnp.asarray([[0.3, -0.2, 0.5], [0.0, 0.0, 0.0]], jnp.float32)
+    # Identical rotations -> 0 deg.
+    np.testing.assert_allclose(np.asarray(pose_rotation_err_deg(rv, rv)), 0.0, atol=1e-3)
+    # A pure 30-deg z-rotation vs identity -> exactly 30 deg.
+    rz = jnp.asarray([0.0, 0.0, np.radians(30.0)], jnp.float32)
+    err = float(pose_rotation_err_deg(rz, jnp.zeros(3, jnp.float32)))
+    assert abs(err - 30.0) < 1e-3
+    t1 = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    t2 = jnp.asarray([[0.3, 0.4, 1.0]], jnp.float32)
+    np.testing.assert_allclose(np.asarray(pose_translation_err_m(t1, t2)), 0.5, atol=1e-6)
+
+
+def test_pose_error_metrics_on_perfect_heatmaps():
+    """End-to-end 6D pose-recovery error on exact GT heatmaps + GT angles:
+    the full decode -> FK -> RANSAC-PnP path must land within heatmap-cell
+    quantization of the true camera pose (the quantified version of the
+    reference's eyeballed reprojection overlays, Fr5_model_train.ipynb
+    cell 14)."""
+    from mvropose_tpu.pose import recover_pose_batch
+    from mvropose_tpu.train.metrics import pose_rotation_err_deg, pose_translation_err_m
+
+    rng = np.random.default_rng(11)
+    angles = rng.uniform(-1.0, 1.0, size=7)
+    rvecs, tvecs, maps = [], [], []
+    for i in range(3):
+        rvec = np.array([0.15 * i - 0.1, 0.4 * i - 0.5, 0.02])
+        tvec = np.array([0.15 * i - 0.2, 0.03, 1.8])
+        hm, _ = make_view(angles, rvec, tvec)
+        rvecs.append(rvec); tvecs.append(tvec); maps.append(np.asarray(hm))
+
+    def recover(decode_mode):
+        out = recover_pose_batch(
+            jnp.asarray(np.stack(maps)),
+            jnp.asarray(angles, jnp.float32),
+            jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (3, 1, 1))),
+            jnp.asarray(np.stack([K] * 3), jnp.float32),
+            FR3,
+            IMG_HW,
+            key=jax.random.PRNGKey(3),
+            n_hypotheses=32,
+            decode_mode=decode_mode,
+        )
+        assert bool(np.asarray(out["success"]).all())
+        rot = np.asarray(
+            pose_rotation_err_deg(out["rvec"], jnp.asarray(np.stack(rvecs), jnp.float32))
+        )
+        trans = np.asarray(
+            pose_translation_err_m(out["tvec"], jnp.asarray(np.stack(tvecs), jnp.float32))
+        )
+        assert rot.shape == (3,) and trans.shape == (3,)
+        return rot, trans
+
+    # Hard argmax (reference parity): bounded by the 10-image-px heatmap-cell
+    # quantization at 1.8 m depth.
+    rot_err, trans_err = recover("argmax")
+    assert rot_err.max() < 6.0, rot_err
+    assert trans_err.max() < 0.2, trans_err
+    # Peak-refined subpixel decode: substantially tighter on exact heatmaps.
+    rot_ref, trans_ref = recover("refine")
+    assert rot_ref.max() < 2.0, rot_ref
+    assert trans_ref.max() < 0.06, trans_ref
+    assert trans_ref.mean() < trans_err.mean()  # refinement strictly helps here
+
+
 def test_triangulated_frame_is_base_rotated_fk():
     """The eval's triangulated-ADD frame fix, as geometry: GT keypoints are
     projected through base_rotation @ FK (data/dataset.py gt_keypoints), so
