@@ -370,6 +370,74 @@ def _graft_backbone_ckpt(variables, ckpt_path, vit_cfg):
     return out
 
 
+def _write_model_config(workdir, cfg, multi_view: bool, model_size: int) -> None:
+    """Persist the model architecture next to the checkpoints.
+
+    A checkpoint without its architecture is a dead end: eval/serve would have
+    to reconstruct the exact ViTConfig/EstimatorConfig from CLI flags, and any
+    mismatch (patch size, register tokens, angle head...) surfaces as an
+    opaque KeyError deep in load_params_npz. Training writes
+    model_config.json; eval/serve rebuild the model from it when present.
+    """
+    import dataclasses
+
+    d = {
+        "kind": "multi_view" if multi_view else "single_view",
+        "model_size": model_size,
+        "vit": dataclasses.asdict(cfg.vit),
+        "num_joints": cfg.num_joints,
+        "num_angles": cfg.num_angles,
+        "heatmap_size": list(cfg.heatmap_size),
+        "max_views": cfg.max_views,
+        "num_fusion_queries": cfg.num_fusion_queries,
+        "num_angle_queries": cfg.num_angle_queries,
+        "angle_head": cfg.angle_head,
+    }
+    Path(workdir).mkdir(parents=True, exist_ok=True)
+    (Path(workdir) / "model_config.json").write_text(json.dumps(d, indent=2))
+
+
+def _read_model_config(params_path):
+    """(EstimatorConfig, model_size, kind) from the model_config.json sitting
+    next to a params file, or None if absent (pre-r3 checkpoints)."""
+    from mvropose_tpu.models import EstimatorConfig
+    from mvropose_tpu.models.vit import ViTConfig
+
+    p = Path(params_path).parent / "model_config.json"
+    if not p.exists():
+        return None
+    d = json.loads(p.read_text())
+    cfg = EstimatorConfig(
+        vit=ViTConfig(**d["vit"]),
+        num_joints=d["num_joints"],
+        num_angles=d["num_angles"],
+        heatmap_size=tuple(d["heatmap_size"]),
+        max_views=d["max_views"],
+        num_fusion_queries=d["num_fusion_queries"],
+        num_angle_queries=d["num_angle_queries"],
+        angle_head=d["angle_head"],
+    )
+    return cfg, int(d["model_size"]), d["kind"]
+
+
+def _load_params_checked(params_path, init_params, angle_head: str):
+    """load_params_npz with an actionable error on architecture mismatch."""
+    from mvropose_tpu.train.checkpoint import load_params_npz
+
+    try:
+        return load_params_npz(params_path, init_params)
+    except (KeyError, ValueError) as e:
+        raise SystemExit(
+            f"checkpoint/architecture mismatch loading {params_path}: {e}\n"
+            f"The constructed model (angle_head={angle_head!r}) does not match "
+            "the trained one. If the run predates model_config.json, pass the "
+            "training-time --angle-head/--model-size/--hidden-size/--num-layers/"
+            "--patch-size/--register-tokens/--backbone-native-size; otherwise "
+            "copy model_config.json from the training workdir next to the "
+            "params file."
+        ) from e
+
+
 def _cmd_train(args) -> int:
     import pandas as pd
     import jax
@@ -412,6 +480,8 @@ def _cmd_train(args) -> int:
         ds = builders.build_fr3_single_view(df, rig, image_hw)
     if args.fk_loss_weight > 0 and hasattr(ds, "with_extrinsics"):
         ds.with_extrinsics = True
+    if multi_view and args.angle_head == "geometric3d":
+        ds.with_extrinsics = True  # per-sample P matrices for the DLT branch
     train_ds, val_ds = builders.train_val_split(ds, args.val_split)
     print(f"dataset: {len(train_ds)} train / {len(val_ds)} val")
 
@@ -435,6 +505,7 @@ def _cmd_train(args) -> int:
         freeze_backbone=freeze, angle_head=args.angle_head,
     )
     model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
+    _write_model_config(args.workdir, cfg, multi_view, args.model_size)
 
     mesh = make_mesh(*args.mesh) if args.mesh else make_mesh()
     tcfg = TrainConfig(
@@ -469,6 +540,15 @@ def _cmd_train(args) -> int:
         if multi_view:
             out["view_ids"] = jnp.asarray(batch["view_ids"])
             out["view_mask"] = jnp.asarray(batch["view_mask"])
+            if args.angle_head == "geometric3d":
+                from mvropose_tpu.geometry.triangulation import heatmap_projection_matrices
+
+                out["proj_mats"] = jax.vmap(
+                    lambda r, t, K: heatmap_projection_matrices(
+                        r, t, K, image_hw, rig.heatmap_size
+                    )
+                )(jnp.asarray(batch["rvec"]), jnp.asarray(batch["tvec"]),
+                  jnp.asarray(batch["K"]))
         else:
             out["sample_weight"] = jnp.asarray(batch["sample_weight"])
             for k in ("rvec", "tvec", "K", "base_rotation"):
@@ -490,7 +570,8 @@ def _cmd_train(args) -> int:
     first = to_device(next(iter(train_ds.batches(min(args.batch_size, 2)))))
     if multi_view:
         variables = model.init(
-            jax.random.PRNGKey(0), first["images"], first["view_ids"], first["view_mask"]
+            jax.random.PRNGKey(0), first["images"], first["view_ids"], first["view_mask"],
+            proj_mats=first.get("proj_mats"),
         )
         step = make_multi_view_train_step(tcfg, mesh)
     else:
@@ -549,7 +630,6 @@ def _cmd_eval(args) -> int:
         SingleViewPoseEstimator,
     )
     from mvropose_tpu.models.vit import ViTConfig
-    from mvropose_tpu.train.checkpoint import load_params_npz
     from mvropose_tpu.train.metrics import pck_at_k, add_metric, add_auc, angle_mae
     from mvropose_tpu.geometry.heatmap import argmax_decode
     from mvropose_tpu.geometry.robots import forward_kinematics_batch
@@ -571,33 +651,58 @@ def _cmd_eval(args) -> int:
     else:  # fr3 --single-view
         ds = builders.build_fr3_single_view(df, rig, image_hw)
 
-    vit = ViTConfig(
-        image_size=args.model_size, patch_size=16, hidden_size=args.hidden_size,
-        num_layers=args.num_layers, num_heads=args.hidden_size // 64, dtype="bfloat16",
-    )
-    cfg = EstimatorConfig(
-        vit=vit, num_joints=rig.num_keypoints, num_angles=rig.robot.n_joints,
-        heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
-        angle_head=args.angle_head,
-    )
+    saved = _read_model_config(args.params)
+    if saved is not None:
+        # Architecture restored from the training workdir: CLI arch flags are
+        # not consulted, so a model trained with any --patch-size/--register-
+        # tokens/--backbone-native-size/--angle-head combination evaluates
+        # without re-specifying them.
+        cfg, model_size, kind = saved
+        want_kind = "multi_view" if multi_view else "single_view"
+        if kind != want_kind:
+            raise SystemExit(
+                f"checkpoint is a {kind} model but the dataset flags select "
+                f"{want_kind} (--robot/--single-view)"
+            )
+        print(f"model architecture restored from {Path(args.params).parent / 'model_config.json'}")
+    else:
+        model_size = args.model_size
+        vit = ViTConfig(
+            image_size=args.backbone_native_size or args.model_size,
+            patch_size=args.patch_size, hidden_size=args.hidden_size,
+            num_layers=args.num_layers, num_heads=args.hidden_size // 64,
+            num_register_tokens=args.register_tokens, dtype="bfloat16",
+        )
+        cfg = EstimatorConfig(
+            vit=vit, num_joints=rig.num_keypoints, num_angles=rig.robot.n_joints,
+            heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
+            angle_head=args.angle_head,
+        )
     model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
-    pre = make_device_preprocessor(ds.geometry, args.model_size, rig.heatmap_size, rig.sigma)
+    pre = make_device_preprocessor(ds.geometry, model_size, rig.heatmap_size, rig.sigma)
 
     first = next(iter(ds.batches(1)))
     imgs, hms = pre(
         jnp.asarray(first["images_u8"]), jnp.asarray(first["cam_idx"]),
         jnp.asarray(first["keypoints_2d"]),
     )
+    geo3d = multi_view and cfg.angle_head == "geometric3d"
     if multi_view:
+        V1 = imgs.shape[1]
         shapes = jax.eval_shape(
-            lambda k: model.init(k, imgs, jnp.asarray(first["view_ids"]), jnp.asarray(first["view_mask"])),
+            lambda k: model.init(
+                k, imgs, jnp.asarray(first["view_ids"]), jnp.asarray(first["view_mask"]),
+                proj_mats=jnp.zeros((imgs.shape[0], V1, 3, 4)) if geo3d else None,
+            ),
             jax.random.PRNGKey(0),
         )
     else:
         shapes = jax.eval_shape(lambda k: model.init(k, imgs), jax.random.PRNGKey(0))
     variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     variables = dict(variables)
-    variables["params"] = load_params_npz(args.params, variables["params"])
+    variables["params"] = _load_params_checked(
+        args.params, variables["params"], cfg.angle_head
+    )
 
     # Optional occlusion-robustness probe: solid random rectangles on the
     # model inputs (the reference's adversarial masking at inference,
@@ -622,7 +727,9 @@ def _cmd_eval(args) -> int:
     # One jitted forward reused across batches (un-jitted flax apply would
     # retrace every call).
     if multi_view:
-        apply_fn = jax.jit(lambda im, vi, vm: model.apply(variables, im, vi, vm))
+        apply_fn = jax.jit(
+            lambda im, vi, vm, pm=None: model.apply(variables, im, vi, vm, proj_mats=pm)
+        )
         ds.with_extrinsics = True  # enables triangulated-3D eval
         from mvropose_tpu.pose import recover_pose_multiview
 
@@ -660,7 +767,56 @@ def _cmd_eval(args) -> int:
         apply_fn = jax.jit(lambda im: model.apply(variables, im))
         tri_add = None
 
-    pcks, maes, adds, add_aucs, tri_adds, n = [], [], [], [], [], 0
+    # 6D camera-pose recovery metric (rot/trans error of the RANSAC-PnP pose
+    # vs the rig's calibrated extrinsics) - the headline quantity the
+    # reference only eyeballs via reprojection overlays (Fr5_model_train.ipynb
+    # cell 14). Needs per-sample extrinsics in the batch.
+    if hasattr(ds, "with_extrinsics"):
+        ds.with_extrinsics = True
+    from mvropose_tpu.pose import recover_pose_batch
+    from mvropose_tpu.train.metrics import pose_rotation_err_deg, pose_translation_err_m
+
+    def pose_errors(pred_hm, pred_ang, batch):
+        """Per-valid-view recovered-pose errors; lists of floats + successes."""
+        if "rvec" not in batch:
+            return [], [], []
+        hm = pred_hm if multi_view else pred_hm[:, None]
+        ang = pred_ang
+        rv = np.asarray(batch["rvec"], np.float32)
+        tv = np.asarray(batch["tvec"], np.float32)
+        Kb = np.asarray(batch["K"], np.float32)
+        base = np.asarray(batch["base_rotation"], np.float32)
+        if not multi_view:  # (B, ...) -> (B, 1, ...) single-view pseudo-rig
+            rv, tv, Kb, base = rv[:, None], tv[:, None], Kb[:, None], base[:, None]
+        B, V = hm.shape[0], hm.shape[1]
+        out = jax.vmap(
+            lambda hm_s, ang_s, base_s, K_s, k: recover_pose_batch(
+                hm_s, ang_s, base_s, K_s, rig.robot, tuple(args.image_hw),
+                key=k, decode_mode="refine",
+            )
+        )(hm, ang, jnp.asarray(base), jnp.asarray(Kb),
+          jax.random.split(jax.random.PRNGKey(13), B))
+        rot = np.asarray(pose_rotation_err_deg(out["rvec"], jnp.asarray(rv)))
+        trans = np.asarray(pose_translation_err_m(out["tvec"], jnp.asarray(tv)))
+        succ = np.asarray(out["success"])
+        vm = (
+            np.asarray(batch["view_mask"], bool)
+            if multi_view else np.asarray(batch["sample_weight"]) > 0
+        ).reshape(B, V)
+        ok = vm & succ
+        return list(rot[ok]), list(trans[ok]), list(succ[vm].astype(np.float32))
+
+    # Weighted accumulators: (sum, weight) per metric, so short final batches
+    # contribute by their actual sample count instead of skewing a
+    # mean-of-batch-means.
+    acc = {k: [0.0, 0.0] for k in ("pck", "mae", "add", "auc")}
+
+    def bump(key, value, weight):
+        if weight > 0:
+            acc[key][0] += float(value) * weight
+            acc[key][1] += weight
+
+    tri_adds, pose_rots, pose_trans, pose_succ, n = [], [], [], [], 0
     img_h, img_w = args.image_hw
     for batch in ds.batches(args.batch_size):
         imgs, gt_hms = pre(
@@ -669,13 +825,25 @@ def _cmd_eval(args) -> int:
         )
         imgs = maybe_occlude(imgs)
         if multi_view:
+            pm = None
+            if geo3d:
+                from mvropose_tpu.geometry.triangulation import heatmap_projection_matrices
+
+                pm = jax.vmap(
+                    lambda r, t, K: heatmap_projection_matrices(
+                        r, t, K, tuple(args.image_hw), rig.heatmap_size
+                    )
+                )(jnp.asarray(batch["rvec"]), jnp.asarray(batch["tvec"]),
+                  jnp.asarray(batch["K"]))
             pred_hm, pred_ang = apply_fn(
-                imgs, jnp.asarray(batch["view_ids"]), jnp.asarray(batch["view_mask"])
+                imgs, jnp.asarray(batch["view_ids"]), jnp.asarray(batch["view_mask"]), pm
             )
             valid = jnp.asarray(batch["view_mask"])[..., None]
+            n_valid = float(jnp.sum(batch["view_mask"]))
         else:
             pred_hm, pred_ang = apply_fn(imgs)
             valid = jnp.asarray(batch["sample_weight"])[..., None]
+            n_valid = float(jnp.sum(batch["sample_weight"]))
         # PCK in IMAGE pixels against the exact GT keypoints in the batch
         # (the reference decodes to image scale too, Fr5_model_train.ipynb
         # cell 14, 1372-1403) - not against re-decoded GT heatmaps, which
@@ -689,30 +857,37 @@ def _cmd_eval(args) -> int:
             (gt_xy_img[..., 0] >= 0) & (gt_xy_img[..., 0] < img_w)
             & (gt_xy_img[..., 1] >= 0) & (gt_xy_img[..., 1] < img_h)
         )
-        pcks.append(float(pck_at_k(
-            pred_xy_img, gt_xy_img, k_px=args.pck_px,
-            valid=(valid > 0) & in_frame,
-        )))
+        kp_valid = (valid > 0) & in_frame
+        bump("pck", pck_at_k(pred_xy_img, gt_xy_img, k_px=args.pck_px, valid=kp_valid),
+             float(jnp.sum(kp_valid)))
         gt_ang = jnp.asarray(batch["angles"])
-        maes.append(float(angle_mae(pred_ang, gt_ang)))
+        bump("mae", angle_mae(pred_ang, gt_ang), pred_ang.shape[0])
         # ADD in FK space: distance between predicted- and GT-angle skeletons.
         fk_pred = forward_kinematics_batch(rig.robot, pred_ang)
         fk_gt = forward_kinematics_batch(rig.robot, gt_ang)
-        adds.append(float(add_metric(fk_pred, fk_gt)))
-        add_aucs.append(float(add_auc(fk_pred, fk_gt)))
+        bump("add", add_metric(fk_pred, fk_gt), pred_ang.shape[0])
+        bump("auc", add_auc(fk_pred, fk_gt), pred_ang.shape[0])
         if tri_add is not None:
             tri_adds.extend(tri_add(pred_hm, batch, np.asarray(fk_gt)))
-        n += int(np.sum(batch.get("sample_weight", np.ones(1))))
+        r, t, s = pose_errors(pred_hm, pred_ang, batch)
+        pose_rots.extend(r); pose_trans.extend(t); pose_succ.extend(s)
+        n += int(n_valid)
+    mean = lambda k: acc[k][0] / max(acc[k][1], 1e-9)
     report = {
-        f"pck@{args.pck_px}px": float(np.mean(pcks)),  # k_px in image pixels
-        "angle_mae": float(np.mean(maes)),
-        "add_m": float(np.mean(adds)),
-        "add_auc@10cm": float(np.mean(add_aucs)),
+        f"pck@{args.pck_px}px": mean("pck"),  # k_px in image pixels
+        "angle_mae": mean("mae"),
+        "add_m": mean("add"),
+        "add_auc@10cm": mean("auc"),
         "samples": n,
         "occlusion_masks": args.occlusion_masks,
     }
     if tri_adds:
         report["triangulated_add_m"] = float(np.mean(tri_adds))
+    if pose_succ:
+        report["pose_success_rate"] = float(np.mean(pose_succ))
+        if pose_rots:
+            report["pose_rot_err_deg"] = float(np.mean(pose_rots))
+            report["pose_trans_err_m"] = float(np.mean(pose_trans))
     print(json.dumps(report))
     return 0
 
@@ -742,10 +917,6 @@ def _cmd_serve(args) -> int:
     from mvropose_tpu.models import EstimatorConfig, MultiViewPoseEstimator
     from mvropose_tpu.models.vit import ViTConfig
 
-    vit = ViTConfig(
-        image_size=args.model_size, patch_size=16, hidden_size=args.hidden_size,
-        num_layers=args.num_layers, num_heads=args.hidden_size // 64, dtype="bfloat16",
-    )
     # With --recover-pose, head arity must match the robot (heatmap channels
     # = keypoints, regressed angles = joints).
     n_joints, n_angles = 8, 7
@@ -754,13 +925,38 @@ def _cmd_serve(args) -> int:
 
         _r = _get_robot(args.pose_robot)
         n_joints, n_angles = _r.n_keypoints, _r.n_joints
-    cfg = EstimatorConfig(vit=vit, num_joints=n_joints, num_angles=n_angles,
-                          max_views=args.views, angle_head=args.angle_head)
+    saved = _read_model_config(args.params) if args.params else None
+    if saved is not None:
+        cfg, model_size, kind = saved
+        if kind != "multi_view":
+            raise SystemExit("serve batches all cameras through a multi_view "
+                             f"model but the checkpoint is {kind}")
+        if args.views > cfg.max_views:
+            raise SystemExit(
+                f"--views {args.views} exceeds the trained max_views {cfg.max_views}"
+            )
+        if args.recover_pose and (cfg.num_joints, cfg.num_angles) != (n_joints, n_angles):
+            raise SystemExit(
+                f"--pose-robot {args.pose_robot} expects {n_joints} keypoints/"
+                f"{n_angles} angles but the checkpoint has {cfg.num_joints}/"
+                f"{cfg.num_angles}"
+            )
+        print(f"model architecture restored from {Path(args.params).parent / 'model_config.json'}")
+    else:
+        model_size = args.model_size
+        vit = ViTConfig(
+            image_size=args.backbone_native_size or args.model_size,
+            patch_size=args.patch_size, hidden_size=args.hidden_size,
+            num_layers=args.num_layers, num_heads=args.hidden_size // 64,
+            num_register_tokens=args.register_tokens, dtype="bfloat16",
+        )
+        cfg = EstimatorConfig(vit=vit, num_joints=n_joints, num_angles=n_angles,
+                              max_views=args.views, angle_head=args.angle_head)
     model = MultiViewPoseEstimator(cfg)
     shapes = jax.eval_shape(
         lambda k: model.init(
             k,
-            jnp.zeros((1, args.views, args.model_size, args.model_size, 3)),
+            jnp.zeros((1, args.views, model_size, model_size, 3)),
             jnp.zeros((1, args.views), jnp.int32),
             jnp.zeros((1, args.views), bool),
         ),
@@ -768,10 +964,10 @@ def _cmd_serve(args) -> int:
     )
     variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     if args.params:
-        from mvropose_tpu.train.checkpoint import load_params_npz
-
         variables = dict(variables)
-        variables["params"] = load_params_npz(args.params, variables["params"])
+        variables["params"] = _load_params_checked(
+            args.params, variables["params"], cfg.angle_head
+        )
     view_ids = jnp.arange(args.views, dtype=jnp.int32)[None]
 
     # Optional per-camera undistortion: --calib-dir + --camera-keys binds the
@@ -861,16 +1057,35 @@ def _cmd_serve(args) -> int:
             pose["tvec"] = jnp.where(use_fb[:, None], fb_tvec, pose["tvec"])
             return pose
 
+    # A geometric3d checkpoint needs per-view projection matrices for its
+    # DLT branch: built from the ArUco-summary extrinsics + calib intrinsics.
+    serve_pm = None
+    if cfg.angle_head == "geometric3d":
+        if not (args.recover_pose and args.summary and camera_Ks is not None):
+            raise SystemExit(
+                "a geometric3d checkpoint needs --recover-pose --summary "
+                "--calib-dir/--camera-keys so the rig's projection matrices "
+                "can feed the triangulation branch"
+            )
+        if not bool(np.asarray(fb_valid).all()):
+            raise SystemExit("--summary is missing extrinsics for some --camera-keys")
+        from mvropose_tpu.geometry.triangulation import heatmap_projection_matrices
+
+        serve_pm = heatmap_projection_matrices(
+            fb_rvec, fb_tvec, Ks_pose, hw, cfg.heatmap_size
+        )[None]  # (1, V, 3, 4)
+
     @jax.jit
     def infer(images_u8, mask):
         imgs = images_u8.astype(jnp.float32) / 255.0
         imgs = jax.image.resize(
-            imgs, (args.views, args.model_size, args.model_size, 3), "bilinear"
+            imgs, (args.views, model_size, model_size, 3), "bilinear"
         )
         from mvropose_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
 
         imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        hm, ang = model.apply(variables, imgs[None], view_ids, mask[None])
+        hm, ang = model.apply(variables, imgs[None], view_ids, mask[None],
+                              proj_mats=serve_pm)
         if recover is not None:
             pose = recover(hm[0], ang[0])
             return pose["keypoints_xy"], pose["confidence"], ang, pose["rvec"], pose["tvec"], pose["success"]
@@ -1213,10 +1428,14 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--no-freeze-backbone", action="store_true",
                     help="train the backbone too (default: frozen, like the "
                          "reference's DINOv2/v3 usage)")
-    pt.add_argument("--angle-head", choices=["query", "geometric"], default="query",
+    pt.add_argument("--angle-head", choices=["query", "geometric", "geometric3d"],
+                    default="query",
                     help="query: reference-style token-attending head; "
                          "geometric: soft-argmax of predicted heatmaps -> MLP "
-                         "(beyond-reference, better-conditioned)")
+                         "(beyond-reference, better-conditioned); geometric3d "
+                         "(fr3 multi-view): adds a differentiable-DLT "
+                         "triangulated-3D input branch through the calibrated "
+                         "extrinsics")
     pt.add_argument("--patch-size", type=int, default=16)
     pt.add_argument("--register-tokens", type=int, default=0,
                     help="DINOv3-style register tokens (vitb16: 4)")
@@ -1237,7 +1456,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"], required=True)
     pe.add_argument("--csv", nargs="+", required=True)
     pe.add_argument("--params", required=True, help="best_params.npz")
-    pe.add_argument("--angle-head", choices=["query", "geometric"], default="query")
+    pe.add_argument("--angle-head", choices=["query", "geometric", "geometric3d"],
+                    default="query")
     pe.add_argument("--calib-dir", default=None)
     pe.add_argument("--aruco-summary", nargs="*", default=None)
     pe.add_argument("--dream-dirs", nargs="*", default=None,
@@ -1246,6 +1466,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--model-size", type=int, default=224)
     pe.add_argument("--hidden-size", type=int, default=768)
     pe.add_argument("--num-layers", type=int, default=12)
+    pe.add_argument("--patch-size", type=int, default=16)
+    pe.add_argument("--register-tokens", type=int, default=0)
+    pe.add_argument("--backbone-native-size", type=int, default=None,
+                    help="(arch flags are only consulted when the params dir "
+                         "has no model_config.json)")
     pe.add_argument("--batch-size", type=int, default=16)
     pe.add_argument("--sigma", type=float, default=5.0)
     pe.add_argument("--tolerance", type=float, default=0.07)
@@ -1290,9 +1515,15 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--model-size", type=int, default=512)
     pv.add_argument("--hidden-size", type=int, default=768)
     pv.add_argument("--num-layers", type=int, default=12)
+    pv.add_argument("--patch-size", type=int, default=16)
+    pv.add_argument("--register-tokens", type=int, default=0)
+    pv.add_argument("--backbone-native-size", type=int, default=None,
+                    help="(arch flags are only consulted when the params dir "
+                         "has no model_config.json)")
     pv.add_argument("--duration", type=float, default=10.0)
     pv.add_argument("--params", default=None, help="best_params.npz from training")
-    pv.add_argument("--angle-head", choices=["query", "geometric"], default="query")
+    pv.add_argument("--angle-head", choices=["query", "geometric", "geometric3d"],
+                    default="query")
     pv.add_argument("--calib-dir", default=None)
     pv.add_argument("--camera-keys", default=None,
                     help="comma-separated '{view}_{cam}' per source for undistortion")

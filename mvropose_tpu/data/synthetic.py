@@ -197,6 +197,11 @@ def synthesize_multiview_batch(
 
     view_ids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (batch_size, 1))
     view_mask = jnp.ones((batch_size, V), dtype=bool)
+    # Heatmap-convention projection matrices (inputs for the geometric3d
+    # angle head's differentiable-DLT branch; shared rig -> tiled over B).
+    from mvropose_tpu.geometry.triangulation import heatmap_projection_matrices
+
+    proj = heatmap_projection_matrices(rvecs, tvecs, K, image_hw, heatmap_hw)
     return {
         "images": images,
         "heatmaps": heatmaps,
@@ -205,6 +210,7 @@ def synthesize_multiview_batch(
         "keypoints_3d": kp3d,
         "view_ids": view_ids,
         "view_mask": view_mask,
+        "proj_mats": jnp.tile(proj[None], (batch_size, 1, 1, 1)),
     }
 
 

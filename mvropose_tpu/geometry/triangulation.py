@@ -55,6 +55,29 @@ def triangulate_dlt(
     return X[:3] / (X[3] + 1e-12)
 
 
+def heatmap_projection_matrices(
+    rvecs: jnp.ndarray,  # (V, 3)
+    tvecs: jnp.ndarray,  # (V, 3)
+    K: jnp.ndarray,  # (3, 3) or (V, 3, 3), IMAGE-pixel intrinsics
+    image_hw: tuple[int, int],
+    heatmap_hw: tuple[int, int],
+) -> jnp.ndarray:
+    """(V, 3, 4) projection matrices in HEATMAP-pixel convention.
+
+    The estimators decode keypoints in heatmap pixels; triangulating them
+    directly needs P scaled by diag(hm_w/img_w, hm_h/img_h, 1) on the left.
+    3D stays metric.
+    """
+    S = jnp.diag(
+        jnp.asarray(
+            [heatmap_hw[1] / image_hw[1], heatmap_hw[0] / image_hw[0], 1.0],
+            jnp.float32,
+        )
+    )
+    Ks = jnp.broadcast_to(K, (rvecs.shape[0], 3, 3))
+    return jax.vmap(lambda r, t, k: S @ projection_matrix(r, t, k))(rvecs, tvecs, Ks)
+
+
 def triangulate_keypoints(
     pixels: jnp.ndarray,  # (V, J, 2)
     proj_matrices: jnp.ndarray,  # (V, 3, 4)

@@ -44,7 +44,13 @@ class EstimatorConfig:
     # "query": the reference's token-attending transformer head
     # (MvRoPose_FR3.py:355-402). "geometric": beyond-reference explicit
     # geometric bottleneck - soft-argmax of the predicted heatmaps -> MLP
-    # (see GeometricAngleHead).
+    # (see GeometricAngleHead). "geometric3d" (multi-view only): geometric
+    # plus a differentiable-DLT branch - the per-view keypoints are
+    # triangulated through the rig's calibrated projection matrices and the
+    # fused 3D skeleton feeds the MLP alongside the 2D features, so angle
+    # estimation consumes the multi-view evidence that actually resolves the
+    # single-view IK ambiguity (the mechanism the reference attributes to
+    # fusion, MvRoPose_FR3.py:404-433, but never gives the angle head).
     angle_head: str = "query"
 
     @property
@@ -73,18 +79,40 @@ class GeometricAngleHead(nn.Module):
     depth: int = 3
     temperature: float = 1.0
     max_views: int = 0  # >0: multi-view; MLP input width is fixed at max_views
+    use_triangulation: bool = False  # multi-view: add the fused-3D DLT branch
 
     @nn.compact
-    def __call__(self, heatmaps, view_mask=None):
+    def __call__(self, heatmaps, view_mask=None, proj_mats=None):
         from mvropose_tpu.geometry.heatmap import soft_argmax_decode
 
         hm = jax.lax.stop_gradient(heatmaps).astype(jnp.float32)
         xy, conf = soft_argmax_decode(hm, self.temperature)  # (..., J, 2), (..., J)
         h, w = hm.shape[-2], hm.shape[-1]
+        xy_px = xy  # heatmap-pixel coords, kept for the triangulation branch
         xy = xy / jnp.asarray([w - 1.0, h - 1.0], jnp.float32) * 2.0 - 1.0
         feats = jnp.concatenate(
             [xy.reshape(*xy.shape[:-2], -1), conf], axis=-1
         )  # (B[, V], 3J)
+        pts3d_feats = None
+        if self.use_triangulation:
+            # Differentiable DLT: per-view soft-argmax keypoints (heatmap px)
+            # -> one 3D point per joint through the rig's projection matrices
+            # (expressed in the SAME heatmap-pixel convention, see
+            # heatmap_projection_matrices). Views are weighted by
+            # mask x confidence; <2 confident views leaves the DLT
+            # ill-conditioned, which the conf feature lets the MLP discount.
+            from mvropose_tpu.geometry.triangulation import triangulate_keypoints
+
+            assert proj_mats is not None, "geometric3d head needs proj_mats"
+            assert feats.ndim == 3, "triangulation branch is multi-view only"
+            wgt = conf
+            if view_mask is not None:
+                wgt = wgt * view_mask.astype(jnp.float32)[..., None]  # (B, V, J)
+            pts3d = jax.vmap(triangulate_keypoints)(xy_px, proj_mats, wgt)  # (B, J, 3)
+            obs = jnp.sum((wgt > 0.05).astype(jnp.float32), axis=1)  # (B, J) view count
+            pts3d_feats = jnp.concatenate(
+                [pts3d.reshape(pts3d.shape[0], -1), obs], axis=-1
+            )  # (B, 4J)
         if feats.ndim == 3:  # multi-view: zero masked views, append the mask
             if view_mask is not None:
                 m = view_mask.astype(jnp.float32)[..., None]
@@ -100,6 +128,8 @@ class GeometricAngleHead(nn.Module):
             assert self.max_views >= V, (self.max_views, V)
             feats = jnp.pad(feats, ((0, 0), (0, self.max_views - V), (0, 0)))
             feats = feats.reshape(feats.shape[0], -1)  # (B, max_views*(3J+1))
+        if pts3d_feats is not None:
+            feats = jnp.concatenate([feats, pts3d_feats], axis=-1)
         x = feats
         for i in range(self.depth):
             x = nn.gelu(nn.Dense(self.hidden, dtype=jnp.float32, name=f"fc{i}")(x))
@@ -149,7 +179,10 @@ class MultiViewPoseEstimator(nn.Module):
     cfg: EstimatorConfig
 
     @nn.compact
-    def __call__(self, images, view_ids, view_mask, train: bool = False):
+    def __call__(self, images, view_ids, view_mask, train: bool = False, proj_mats=None):
+        """proj_mats (B, V, 3, 4), heatmap-pixel convention: required by the
+        geometric3d angle head (see heatmap_projection_matrices), ignored
+        otherwise."""
         c = self.cfg
         B, V, H, W, _ = images.shape
         flat = images.reshape(B * V, H, W, 3)
@@ -186,10 +219,13 @@ class MultiViewPoseEstimator(nn.Module):
         Hm, Wm = c.heatmap_size
         heatmaps = heatmaps.reshape(B, V, c.num_joints, Hm, Wm)
 
-        if c.angle_head == "geometric":
+        if c.angle_head in ("geometric", "geometric3d"):
             angles = GeometricAngleHead(
-                c.num_angles, max_views=c.max_views, name="angle_head"
-            )(heatmaps, view_mask)
+                c.num_angles,
+                max_views=c.max_views,
+                use_triangulation=c.angle_head == "geometric3d",
+                name="angle_head",
+            )(heatmaps, view_mask, proj_mats)
         else:
             angles = JointAngleHead(
                 c.num_angles,

@@ -149,6 +149,7 @@ def make_multi_view_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Ca
                 batch["view_ids"],
                 batch["view_mask"],
                 train=True,
+                proj_mats=batch.get("proj_mats"),
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
@@ -176,7 +177,8 @@ def make_eval_step(cfg: TrainConfig, multi_view: bool, mesh: Mesh | None = None)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if multi_view:
             pred_hm, pred_ang = state.apply_fn(
-                variables, batch["images"], batch["view_ids"], batch["view_mask"]
+                variables, batch["images"], batch["view_ids"], batch["view_mask"],
+                proj_mats=batch.get("proj_mats"),
             )
             loss_kpt = masked_multiview_heatmap_loss(
                 pred_hm, batch["heatmaps"], batch["view_mask"]

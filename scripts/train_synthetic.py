@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str = "query"):
+def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str = "query",
+                freeze_backbone: bool = False, with_layerscale: bool = False):
     from mvropose_tpu.models import (
         EstimatorConfig,
         MultiViewPoseEstimator,
@@ -49,7 +50,9 @@ def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str
         hidden_size=192,
         num_layers=4,
         num_heads=4,
-        layerscale_init=None,
+        # DINO checkpoints carry LayerScale params; the graft validates tree
+        # structure, so the config must host them when converting one.
+        layerscale_init=1e-5 if with_layerscale else None,
         dtype="bfloat16" if on_tpu else "float32",
     )
     cfg = EstimatorConfig(
@@ -60,7 +63,7 @@ def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str
         max_views=4,
         num_fusion_queries=8,
         num_angle_queries=4,
-        freeze_backbone=False,
+        freeze_backbone=freeze_backbone,
         dtype=vit.dtype,
         angle_head=angle_head,
     )
@@ -81,14 +84,27 @@ def main() -> None:
                    "a finite pool is what lets the angle head converge.")
     p.add_argument("--lr-ang", type=float, default=None,
                    help="angle-group lr (defaults to --lr)")
-    p.add_argument("--angle-head", choices=("query", "geometric"), default="query",
+    p.add_argument("--angle-head", choices=("query", "geometric", "geometric3d"),
+                   default="query",
                    help="geometric = soft-argmax of predicted heatmaps -> MLP "
-                        "(beyond-reference head; see models.GeometricAngleHead)")
+                        "(beyond-reference head; see models.GeometricAngleHead); "
+                        "geometric3d (multi mode) adds the differentiable-DLT "
+                        "triangulated-3D branch")
     p.add_argument("--fk-loss-weight", type=float, default=0.0,
                    help="differentiable FK-consistency loss weight (single "
                         "mode): puts the angle gradient in keypoint-pixel "
                         "space, which conditions the weakly-observable "
                         "joints far better than the huber angle loss alone")
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="the reference's actual training regime: frozen "
+                        "backbone, heads-only optimization "
+                        "(DREAM_Train.py:133-142 requires_grad=False). The "
+                        "backbone is a random-init ViT unless --backbone-ckpt "
+                        "grafts converted weights.")
+    p.add_argument("--backbone-ckpt", default=None,
+                   help="graft a converted DINO checkpoint (.npz/.pth, timm "
+                        "or HF naming) into the backbone before training - "
+                        "exercises models.dino_convert in the training path")
     p.add_argument("--views", type=int, default=3)
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -170,7 +186,11 @@ def main() -> None:
             idx = jax.random.randint(key, (args.batch,), 0, args.dataset_size)
             return jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), pool)
 
-    model, ecfg = build_model(args.mode, robot, args.image_size, on_tpu, args.angle_head)
+    model, ecfg = build_model(
+        args.mode, robot, args.image_size, on_tpu, args.angle_head,
+        freeze_backbone=args.freeze_backbone,
+        with_layerscale=args.backbone_ckpt is not None,
+    )
     tcfg = TrainConfig(
         num_epochs=1,
         steps_per_epoch=args.steps,
@@ -178,7 +198,7 @@ def main() -> None:
         lr_ang=args.lr_ang if args.lr_ang is not None else args.lr,
         loss_weight_kpt=100.0,
         loss_weight_fk=args.fk_loss_weight,
-        freeze_backbone=False,
+        freeze_backbone=args.freeze_backbone,
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -196,8 +216,18 @@ def main() -> None:
             variables = model.init(
                 jax.random.PRNGKey(1), init_imgs,
                 jnp.zeros((1, V), jnp.int32), jnp.ones((1, V), bool),
+                proj_mats=jnp.zeros((1, V, 3, 4), jnp.float32),
             )
+    if args.backbone_ckpt:
+        from mvropose_tpu.cli.main import _graft_backbone_ckpt
+
+        variables = _graft_backbone_ckpt(variables, args.backbone_ckpt, ecfg.vit)
+        print(f"grafted backbone weights from {args.backbone_ckpt}", flush=True)
     variables = jax.device_put(variables, jax.devices()[0])
+    frozen_backbone_init = (
+        jax.tree_util.tree_map(np.asarray, variables["params"]["backbone"])
+        if args.freeze_backbone else None
+    )
     train_step = (
         make_single_view_train_step(tcfg, robot=robot)
         if single else make_multi_view_train_step(tcfg)
@@ -218,7 +248,8 @@ def main() -> None:
             pred_hm, pred_ang = state.apply_fn(variables, batch["images"])
         else:
             pred_hm, pred_ang = state.apply_fn(
-                variables, batch["images"], batch["view_ids"], batch["view_mask"]
+                variables, batch["images"], batch["view_ids"], batch["view_mask"],
+                proj_mats=batch.get("proj_mats"),
             )
         pred_xy, _ = argmax_decode(pred_hm)
         scale = args.image_size / hm  # heatmap px -> image px
@@ -299,6 +330,76 @@ def main() -> None:
             print(json.dumps(rec), flush=True)
 
     final = run_eval(state)
+    if frozen_backbone_init is not None:
+        # The regime's invariant, asserted on the actual run (not just the
+        # unit test): the frozen backbone's params are bit-identical after
+        # `steps` optimizer updates through the set_to_zero group.
+        drift = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+            state.params["backbone"], frozen_backbone_init,
+        )
+        max_drift = max(jax.tree_util.tree_leaves(drift))
+        assert max_drift == 0.0, f"frozen backbone drifted: {max_drift}"
+        final["frozen_backbone"] = True
+        final["frozen_backbone_max_drift"] = max_drift
+        final["backbone_ckpt"] = args.backbone_ckpt
+
+    # 6D camera-pose recovery error: the headline capability the reference
+    # only ever eyeballed (Fr5_model_train.ipynb cell 14 reprojection
+    # overlays). Decoded predicted heatmaps + FK(predicted angles) ->
+    # RANSAC PnP per view, scored against the rig's GT extrinsics; the
+    # gt-angles variant isolates the decode+PnP geometry path from
+    # angle-head error.
+    from mvropose_tpu.pose import recover_pose_batch
+    from mvropose_tpu.train import pose_rotation_err_deg, pose_translation_err_m
+
+    K_rig, rv_rig, tv_rig = rig_arrs
+    eye_base = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (V, 1, 1))
+    Ks = jnp.tile(K_rig[None], (V, 1, 1))
+
+    def pose_eval(batches, use_gt_angles):
+        rots, trans, succ = [], [], []
+        for b in batches:
+            variables_ = {"params": state.params, "batch_stats": state.batch_stats}
+            if single:
+                hm_b, ang_b = state.apply_fn(variables_, b["images"])
+                hm_b = hm_b[:, None]  # (B, 1, J, Hm, Wm)
+            else:
+                hm_b, ang_b = state.apply_fn(
+                    variables_, b["images"], b["view_ids"], b["view_mask"],
+                    proj_mats=b.get("proj_mats"),
+                )
+            angles_b = b["angles"] if use_gt_angles else ang_b
+            out = jax.vmap(
+                lambda hm_s, ang_s, k: recover_pose_batch(
+                    hm_s, ang_s, eye_base[: hm_b.shape[1]], Ks[: hm_b.shape[1]],
+                    robot, (args.image_size, args.image_size),
+                    key=k, decode_mode="refine",
+                )
+            )(hm_b, angles_b, jax.random.split(jax.random.PRNGKey(3), hm_b.shape[0]))
+            gt_rv = rv_rig[None, : hm_b.shape[1]]
+            gt_tv = tv_rig[None, : hm_b.shape[1]]
+            rots.append(np.asarray(pose_rotation_err_deg(out["rvec"], gt_rv)).ravel())
+            trans.append(np.asarray(pose_translation_err_m(out["tvec"], gt_tv)).ravel())
+            succ.append(np.asarray(out["success"]).ravel())
+        ok = np.concatenate(succ) > 0
+        r, t = np.concatenate(rots), np.concatenate(trans)
+        # Errors are reported over SUCCESSFUL recoveries (failed PnP returns
+        # sentinel values); success_rate carries the failure information.
+        return {
+            "rot_err_deg": float(r[ok].mean()) if ok.any() else None,
+            "trans_err_m": float(t[ok].mean()) if ok.any() else None,
+            "success_rate": float(ok.mean()),
+        }
+
+    pe = pose_eval(eval_batches, use_gt_angles=False)
+    pe_gt = pose_eval(eval_batches, use_gt_angles=True)
+    final["pose_rot_err_deg"] = pe["rot_err_deg"]
+    final["pose_trans_err_m"] = pe["trans_err_m"]
+    final["pose_success_rate"] = pe["success_rate"]
+    final["pose_rot_err_deg_gt_angles"] = pe_gt["rot_err_deg"]
+    final["pose_trans_err_m_gt_angles"] = pe_gt["trans_err_m"]
+
     if pool is not None:
         # Train-pool accuracy (the regime the reference reports: metrics on
         # the finite capture set it trains on), prefixed to keep the held-out
@@ -338,7 +439,8 @@ def main() -> None:
             imgs, gts, hms = b["images"][:4], b["heatmaps"][:4], pred_hm
         else:
             pred_hm, _ = state.apply_fn(
-                variables, b["images"][:4], b["view_ids"][:4], b["view_mask"][:4]
+                variables, b["images"][:4], b["view_ids"][:4], b["view_mask"][:4],
+                proj_mats=None if b.get("proj_mats") is None else b["proj_mats"][:4],
             )
             imgs, gts, hms = b["images"][:4, 0], b["heatmaps"][:4, 0], pred_hm[:, 0]
         panel = np.vstack([

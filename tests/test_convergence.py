@@ -156,3 +156,54 @@ def test_geometric_angle_head_learns_ik_from_gt_heatmaps():
     mae = np.asarray(jnp.mean(jnp.abs(pred - ang_te), axis=0))
     assert mae[0] < 10.0, mae  # most-observable joint converges fast
     assert mae[:3].mean() < 20.0, mae
+
+
+def test_geometric3d_head_learns_ik_from_gt_multiview_heatmaps():
+    """The geometric3d variant (per-view soft-argmax -> differentiable DLT ->
+    fused 3D skeleton + 2D features -> MLP) must learn the observable joints
+    from GT 3-view heatmaps as fast as the 2D head does single-view, while
+    consuming the triangulated evidence that resolves multi-view ambiguity.
+    The full-budget comparison lives in runs/synth_mv_tri (PARITY.md)."""
+    import optax
+
+    from mvropose_tpu.models import GeometricAngleHead
+
+    robot = get_robot("fr5")
+    rig = make_rig(n_views=3, image_hw=(IMG, IMG))
+    rig_arrs = rig_tuple(rig)
+
+    def batch_of(seed, n):
+        b = synthesize_multiview_batch(
+            robot, rig_arrs, jax.random.PRNGKey(seed), n,
+            image_hw=(IMG, IMG), heatmap_hw=(HM, HM),
+        )
+        return b["heatmaps"], b["view_mask"], b["proj_mats"], b["angles"]
+
+    head = GeometricAngleHead(
+        num_angles=robot.n_joints, hidden=128, depth=2, max_views=3,
+        use_triangulation=True,
+    )
+    hm0, vm0, pm0, _ = batch_of(0, 8)
+    params = head.init(jax.random.PRNGKey(1), hm0, vm0, pm0)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, hm, vm, pm, ang):
+        def loss(p):
+            pred = head.apply(p, hm, vm, pm)
+            return jnp.mean(optax.huber_loss(pred, ang))
+
+        g = jax.grad(loss)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt
+
+    for i in range(400):
+        hm, vm, pm, ang = batch_of(100 + i, 64)
+        params, opt = step(params, opt, hm, vm, pm, ang)
+
+    hm_te, vm_te, pm_te, ang_te = batch_of(9999, 128)  # held out
+    pred = head.apply(params, hm_te, vm_te, pm_te)
+    mae = np.asarray(jnp.mean(jnp.abs(pred - ang_te), axis=0))
+    assert mae[0] < 10.0, mae
+    assert mae[:3].mean() < 20.0, mae

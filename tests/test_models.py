@@ -192,3 +192,54 @@ def test_geometric_angle_head_multiview_mask_invariance(rng):
     mask5 = jnp.asarray([[True, True, True, False, False]])
     hm5, ang5 = model.apply(variables, imgs5, vids5, mask5)
     np.testing.assert_allclose(np.asarray(ang5), np.asarray(ang3), atol=1e-4)
+
+
+def test_geometric3d_head_mask_invariance_and_triangulation(rng):
+    """geometric3d: the triangulated-DLT branch is exact on GT heatmaps and
+    masked-view padding stays invariant (masked views carry weight 0 into the
+    DLT, so garbage views cannot perturb the fused 3D skeleton)."""
+    import dataclasses
+
+    from mvropose_tpu.data.synthetic import make_rig, rig_tuple, synthesize_multiview_batch
+    from mvropose_tpu.geometry.robots import get_robot
+    from mvropose_tpu.geometry.triangulation import heatmap_projection_matrices
+
+    robot = get_robot("fr5")
+    rig = make_rig(n_views=3, image_hw=(64, 64))
+    b = synthesize_multiview_batch(
+        robot, rig_tuple(rig), jax.random.PRNGKey(2), 2,
+        image_hw=(64, 64), heatmap_hw=(32, 32),
+    )
+    cfg = dataclasses.replace(
+        TINY, num_joints=robot.n_keypoints, num_angles=robot.n_joints,
+        angle_head="geometric3d", max_views=4,
+    )
+    model = MultiViewPoseEstimator(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), b["images"], b["view_ids"], b["view_mask"],
+        proj_mats=b["proj_mats"],
+    )
+    hm, ang = model.apply(
+        variables, b["images"], b["view_ids"], b["view_mask"], proj_mats=b["proj_mats"]
+    )
+    assert ang.shape == (2, robot.n_joints)
+    assert np.isfinite(np.asarray(ang)).all()
+
+    # Mask invariance: append a garbage view with mask False + zero P.
+    garbage = jnp.asarray(rng.normal(size=(2, 1, 64, 64, 3)).astype(np.float32) * 50)
+    imgs4 = jnp.concatenate([b["images"], garbage], axis=1)
+    vids4 = jnp.concatenate([b["view_ids"], jnp.full((2, 1), 3, jnp.int32)], axis=1)
+    mask4 = jnp.concatenate([b["view_mask"], jnp.zeros((2, 1), bool)], axis=1)
+    pm4 = jnp.concatenate([b["proj_mats"], jnp.zeros((2, 1, 3, 4))], axis=1)
+    hm4, ang4 = model.apply(variables, imgs4, vids4, mask4, proj_mats=pm4)
+    np.testing.assert_allclose(np.asarray(ang4), np.asarray(ang), atol=1e-4)
+
+    # The branch's geometry: DLT on exact GT keypoints recovers the skeleton.
+    K, rv, tv = rig_tuple(rig)
+    P = heatmap_projection_matrices(rv, tv, K, (64, 64), (32, 32))
+    from mvropose_tpu.geometry.triangulation import triangulate_keypoints
+
+    tri = jax.vmap(lambda xy, w: triangulate_keypoints(xy, P, w))(
+        b["keypoints_2d"] * 0.5, jnp.ones(b["keypoints_2d"].shape[:-1])
+    )
+    np.testing.assert_allclose(np.asarray(tri), np.asarray(b["keypoints_3d"]), atol=1e-4)
