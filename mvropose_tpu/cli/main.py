@@ -1092,7 +1092,8 @@ def _cmd_serve(args) -> int:
         xy, conf = decode_keypoints(hm[0], image_hw=hw, use_pallas=jax.default_backend() == "tpu")
         return xy, conf, ang
 
-    def infer_np(images, mask):
+    def dispatch_np(images, mask):
+        """Host phase: undistort + H2D + async device dispatch (no fetch)."""
         if cv2_maps is not None:
             import cv2
 
@@ -1100,13 +1101,20 @@ def _cmd_serve(args) -> int:
                 cv2.remap(images[i], cv2_maps[i][0], cv2_maps[i][1], cv2.INTER_LINEAR)
                 for i in range(len(images))
             ])
-        out = infer(jnp.asarray(images), jnp.asarray(mask))
+        return infer(jnp.asarray(images), jnp.asarray(mask))
+
+    def fetch_np(handle):
         # Fetch results to host every tick: the app's consumers (display,
         # robot control) live on host, and without the fetch the reported
         # tick/s measures async dispatch, not completed inference (on the
         # tunneled-TPU backend block_until_ready does not synchronize at
-        # all). The arrays are tiny (keypoints/confidences/angles).
-        return tuple(np.asarray(o) for o in out)
+        # all). The arrays are tiny (keypoints/confidences/angles). In the
+        # default double-buffered mode this fetch blocks on frame-set N-1
+        # while the device already works on N (StreamingPipeline docstring).
+        return tuple(np.asarray(o) for o in handle)
+
+    def infer_np(images, mask):
+        return fetch_np(dispatch_np(images, mask))
 
     # Live tiled display (the reference's cv2.imshow canvas loop,
     # DIP_REAL.py:218-271): skeleton overlays per camera, placeholder panels
@@ -1155,9 +1163,15 @@ def _cmd_serve(args) -> int:
                     canvas[:, :, ::-1],
                 )
 
-    pipe = StreamingPipeline(
-        sources, infer_np, on_result=on_result, frame_hw=hw, max_skew_s=args.max_skew
-    )
+    if args.no_overlap:
+        pipe = StreamingPipeline(
+            sources, infer_np, on_result=on_result, frame_hw=hw, max_skew_s=args.max_skew
+        )
+    else:
+        pipe = StreamingPipeline(
+            sources, dispatch_np, on_result=on_result, frame_hw=hw,
+            max_skew_s=args.max_skew, fetch_fn=fetch_np,
+        )
     pipe.start()
     try:
         print(f"active cameras: {len(pipe.active)}, failed: {len(pipe.failed)}")
@@ -1169,10 +1183,14 @@ def _cmd_serve(args) -> int:
         else:
             import time as _time
 
-            pipe.stats = type(pipe.stats)(start_time_s=_time.perf_counter())
+            pipe.stats = type(pipe.stats)(
+                start_time_s=_time.perf_counter(), overlapped=pipe.fetch_fn is not None
+            )
             end = _time.perf_counter() + args.duration
             while _time.perf_counter() < end and not quit_flag["q"]:
                 pipe.tick()
+            if pipe.fetch_fn is not None:
+                pipe.drain()
             stats = pipe.stats
     finally:
         pipe.stop()
@@ -1184,6 +1202,12 @@ def _cmd_serve(args) -> int:
         f"served {stats.ticks} ticks ({stats.frames_processed} camera frames) "
         f"at {stats.fps:.2f} tick/s = {stats.camera_fps:.2f} camera-frames/s"
     )
+    if stats.overlapped and stats.ticks:
+        print(
+            f"overlap: host {1e3 * stats.total_step_time_s / stats.ticks:.1f} ms/tick "
+            f"+ fetch {1e3 * stats.total_fetch_time_s / stats.ticks:.1f} ms/tick "
+            f"(wall {1e3 / max(stats.fps, 1e-9):.1f} ms/tick)"
+        )
     return 0
 
 
@@ -1337,6 +1361,12 @@ def _cmd_profile(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mvropose_tpu", description=__doc__)
+    p.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="force the jax platform. Under the tunneled-TPU "
+                        "environment the JAX_PLATFORMS env var is overridden "
+                        "at registration time, so an in-process config update "
+                        "is the only reliable way to pin the CPU backend "
+                        "(e.g. to keep a quick eval off a busy chip)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("sync", help="synchronize images with joint logs")
@@ -1521,6 +1551,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="(arch flags are only consulted when the params dir "
                          "has no model_config.json)")
     pv.add_argument("--duration", type=float, default=10.0)
+    pv.add_argument("--no-overlap", action="store_true",
+                    help="disable the double-buffered tick (dispatch N / "
+                         "fetch N-1); serial gather->infer->fetch instead")
     pv.add_argument("--params", default=None, help="best_params.npz from training")
     pv.add_argument("--angle-head", choices=["query", "geometric", "geometric3d"],
                     default="query")
@@ -1548,6 +1581,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.backend != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
     return args.fn(args)
 
 

@@ -45,6 +45,36 @@ def _paths_and_angles(
     return paths, angles
 
 
+def normalize_reference_index(df: pd.DataFrame) -> pd.DataFrame:
+    """Adapt the reference's checked-in matched_index*.csv schema to ours.
+
+    The genuine artifacts (/root/reference/dataset/Fr5/Fr5_*_250526/
+    matched_index.csv and matched_index_with_roi.csv) use dotted columns:
+    img.path, img.serial, img.view, img.ts, joint.path, joint.ts, abs_dt,
+    joint.0..joint.N [, roi.path, roi.x1..roi.y2]. This framework's sync
+    schema is image_path + joint_1..joint_{N+1} + robot_timestamp; roi.*
+    passes through (build_fr5_roi_single_view already reads dotted roi
+    columns). Idempotent on already-normalized frames.
+    """
+    import re
+
+    if "image_path" in df.columns:
+        return df
+    out = pd.DataFrame()
+    out["image_path"] = df["img.path"].astype(str)
+    joint_cols = sorted(
+        (c for c in df.columns if re.fullmatch(r"joint\.\d+", c)),
+        key=lambda c: int(c.split(".")[1]),
+    )
+    for i, c in enumerate(joint_cols):
+        out[f"joint_{i + 1}"] = df[c].astype(float)
+    out["robot_timestamp"] = df["img.ts"].astype(float)
+    for c in df.columns:
+        if c.startswith("roi."):
+            out[c] = df[c]
+    return out
+
+
 def build_fr5_single_view(
     df: pd.DataFrame, rig: RigSpec, image_hw: tuple[int, int] = (1080, 1920)
 ) -> SingleViewDataset:

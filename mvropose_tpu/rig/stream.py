@@ -28,6 +28,13 @@ class StreamStats:
     frames_processed: int = 0
     total_step_time_s: float = 0.0
     start_time_s: float = 0.0
+    # Double-buffered mode: host (gather+preprocess+dispatch) and fetch
+    # (block-until-device-done) phases, accumulated separately so overlap is
+    # measurable: with true overlap, total wall per tick approaches
+    # max(host, device) instead of host + device, i.e.
+    # total_step_time_s + total_fetch_time_s can exceed wall elapsed.
+    total_fetch_time_s: float = 0.0
+    overlapped: bool = False
 
     @property
     def fps(self) -> float:
@@ -46,6 +53,16 @@ class StreamingPipeline:
     infer_fn(images_u8 (V, H, W, 3), view_mask (V,)) -> anything; it is
     expected to be a jitted device function (preprocess + model + decode).
     on_result(result, frames) runs on host (viz, logging).
+
+    Double-buffered mode (fetch_fn given): infer_fn becomes the DISPATCH
+    phase (host preprocess + async device enqueue, returning an unfetched
+    handle, e.g. jax device arrays) and fetch_fn(handle) the blocking
+    device->host fetch. Each tick dispatches frame-set N then fetches N-1,
+    so the host work of N+1 (camera gather, cv2 undistort, H2D) runs
+    concurrently with the device computing N - the overlap the reference
+    approximated with per-camera threads (DIP_REAL.py:98-127), here with one
+    batched device step and one frame-set of latency. on_result fires when a
+    set's results are fetched, paired with ITS frames.
     """
 
     def __init__(
@@ -56,6 +73,7 @@ class StreamingPipeline:
         frame_hw: tuple[int, int] = (720, 1280),
         init_timeout_s: float = 10.0,
         max_skew_s: float | None = None,
+        fetch_fn: Optional[Callable] = None,
     ):
         """max_skew_s: when set, a camera whose latest frame is older than
         the newest frame by more than this is masked out for the tick -
@@ -68,7 +86,9 @@ class StreamingPipeline:
         self.frame_hw = frame_hw
         self.init_timeout_s = init_timeout_s
         self.max_skew_s = max_skew_s
-        self.stats = StreamStats()
+        self.fetch_fn = fetch_fn
+        self._pending = None  # (handle, frames) awaiting fetch
+        self.stats = StreamStats(overlapped=fetch_fn is not None)
         self.active: list[CameraSource] = []
         self.failed: list[CameraSource] = []
 
@@ -113,16 +133,44 @@ class StreamingPipeline:
             if not mask.any():
                 return None
         t0 = time.perf_counter()
-        result = self.infer_fn(images, mask)
+        out = self.infer_fn(images, mask)
         self.stats.total_step_time_s += time.perf_counter() - t0
         self.stats.ticks += 1
         self.stats.frames_processed += int(mask.sum())
+        if self.fetch_fn is None:
+            if self.on_result is not None:
+                self.on_result(out, frames)
+            return out
+        # Double-buffered: `out` is an unfetched handle for THIS set; block
+        # on (and deliver) the previous set while the device works on this.
+        result = None
+        if self._pending is not None:
+            handle, pframes = self._pending
+            t1 = time.perf_counter()
+            result = self.fetch_fn(handle)
+            self.stats.total_fetch_time_s += time.perf_counter() - t1
+            if self.on_result is not None:
+                self.on_result(result, pframes)
+        self._pending = (out, frames)
+        return result
+
+    def drain(self):
+        """Fetch + deliver the in-flight frame set (double-buffered mode)."""
+        if self._pending is None:
+            return None
+        handle, pframes = self._pending
+        self._pending = None
+        t1 = time.perf_counter()
+        result = self.fetch_fn(handle)
+        self.stats.total_fetch_time_s += time.perf_counter() - t1
         if self.on_result is not None:
-            self.on_result(result, frames)
+            self.on_result(result, pframes)
         return result
 
     def run(self, duration_s: float | None = None, max_ticks: int | None = None) -> StreamStats:
-        self.stats = StreamStats(start_time_s=time.perf_counter())
+        self.stats = StreamStats(
+            start_time_s=time.perf_counter(), overlapped=self.fetch_fn is not None
+        )
         end = time.perf_counter() + duration_s if duration_s else None
         while True:
             if end is not None and time.perf_counter() >= end:
@@ -130,4 +178,6 @@ class StreamingPipeline:
             if max_ticks is not None and self.stats.ticks >= max_ticks:
                 break
             self.tick()
+        if self.fetch_fn is not None:
+            self.drain()
         return self.stats

@@ -1,0 +1,148 @@
+"""Multi-view angle-estimation task bounds: MLPs on EXACT geometry.
+
+PARITY.md's single-view dissection bounds what any image model can achieve by
+training an MLP on the exact GT keypoints. This script computes the
+*multi-view* counterparts on the same synthetic rig, bounding the
+geometric3d head (runs/synth_mv_tri):
+
+  2d   : exact per-view 2D keypoints, concatenated     (what `geometric` sees)
+  tri3d: exact 3D points DLT-triangulated from exact 2D (what the DLT branch adds)
+  fk3d : exact FK 3D joint positions                    (oracle 3D -> pure IK bound)
+
+All three share the MLP architecture/width/optimizer of GeometricAngleHead
+so the comparison isolates the INPUT featurization, not capacity. Angles are
+sampled exactly as the training harness samples them (uniform
++-0.6 * 90 deg, FR5 degrees).
+
+Usage: python scripts/task_bound_mv.py --views 4 --steps 10000 --out runs/task_bound_mv.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--views", type=int, default=4)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--out", default="runs/task_bound_mv.json")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the env-var override is "
+                        "ignored under the axon sitecustomize)")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    import flax.linen as nn
+    import optax
+
+    from mvropose_tpu.data.synthetic import make_rig, rig_tuple
+    from mvropose_tpu.geometry.robots import forward_kinematics, get_robot
+    from mvropose_tpu.geometry.camera import project_points
+    from mvropose_tpu.geometry.triangulation import (
+        heatmap_projection_matrices,
+        triangulate_keypoints,
+    )
+
+    robot = get_robot("fr5")
+    V = args.views
+    S = args.image_size
+    hm = S // 2
+    rig = make_rig(n_views=V, image_hw=(S, S))
+    K, rvecs, tvecs = rig_tuple(rig)
+    projs = heatmap_projection_matrices(rvecs, tvecs, K, (S, S), (hm, hm))
+
+    def features(key, n):
+        """angles + the three exact featurizations, all on device."""
+        angles = jax.random.uniform(
+            key, (n, robot.n_joints), minval=-0.6 * 90.0, maxval=0.6 * 90.0
+        ).astype(jnp.float32)
+        kp3d = jax.vmap(lambda a: forward_kinematics(robot, a))(angles)  # (B, J, 3)
+
+        def proj_view(rv, tv):
+            return jax.vmap(lambda pts: project_points(pts, rv, tv, K, None))(kp3d)
+
+        kp2d = jnp.transpose(jax.vmap(proj_view)(rvecs, tvecs), (1, 0, 2, 3))  # (B,V,J,2)
+        kp2d_hm = kp2d * (hm / S)
+        w = jnp.ones(kp2d_hm.shape[:-1], jnp.float32)
+        tri = jax.vmap(lambda xy, wt: triangulate_keypoints(xy, projs, wt))(kp2d_hm, w)
+        feats = {
+            "2d": kp2d_hm.reshape(n, -1) / hm,  # normalized, like the head
+            "tri3d": jnp.concatenate(
+                [kp2d_hm.reshape(n, -1) / hm, tri.reshape(n, -1)], axis=-1
+            ),
+            "fk3d": kp3d.reshape(n, -1),
+        }
+        return angles, feats
+
+    class MLP(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(args.depth):
+                x = nn.gelu(nn.Dense(args.hidden, name=f"fc{i}")(x))
+            return nn.Dense(robot.n_joints, name="out")(x)
+
+    features_j = jax.jit(features, static_argnums=(1,))
+    results = {}
+    for variant in ("2d", "tri3d", "fk3d"):
+        model = MLP()
+        a0, f0 = features_j(jax.random.PRNGKey(0), 8)
+        params = model.init(jax.random.PRNGKey(1), f0[variant])
+        tx = optax.adam(args.lr)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, x, y):
+            def loss(p):
+                return jnp.mean(optax.huber_loss(model.apply(p, x), y))
+
+            l, g = jax.value_and_grad(loss)(params)
+            up, opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, up), opt, l
+
+        t0 = time.time()
+        key = jax.random.PRNGKey(7)
+        for i in range(args.steps):
+            key, bk = jax.random.split(key)
+            ang, fts = features_j(bk, args.batch)
+            params, opt, l = step(params, opt, fts[variant], ang)
+        ang_te, fts_te = features_j(jax.random.PRNGKey(999_999), 2048)  # held out
+        pred = model.apply(params, fts_te[variant])
+        mae = np.asarray(jnp.mean(jnp.abs(pred - ang_te), axis=0))
+        results[variant] = {
+            "per_joint_mae_deg": mae.round(2).tolist(),
+            "mae_deg": float(mae.mean().round(3)),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(variant, json.dumps(results[variant]), flush=True)
+
+    results.update(
+        views=V, steps=args.steps, batch=args.batch, hidden=args.hidden,
+        depth=args.depth, image_size=S, backend=jax.default_backend(),
+    )
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    print("FINAL", json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
