@@ -81,12 +81,27 @@ class GeometricAngleHead(nn.Module):
     max_views: int = 0  # >0: multi-view; MLP input width is fixed at max_views
     use_triangulation: bool = False  # multi-view: add the fused-3D DLT branch
 
+    # Decode mode for the keypoint bottleneck. "refine" (default): hard
+    # argmax + peak-local softmax centroid. "soft": full-map soft-argmax -
+    # kept for ablation, but measured to be the WRONG choice: on gaussian-
+    # target heatmaps (peak 1, background 0) the background's softmax mass
+    # contracts the expectation ~99% toward image center, so the MLP must
+    # amplify decode noise ~100x and the DLT branch receives geometrically
+    # inconsistent rays (runs/synth_mv_tri vs runs/task_bound_mv.json: the
+    # exact-2D task bound has j4/j5 at 6/11 deg while soft-decode runs
+    # stall at the 25-32 deg floor). The heatmaps are stop_gradient-ed
+    # either way, so decode differentiability is irrelevant here.
+    decode: str = "refine"
+
     @nn.compact
     def __call__(self, heatmaps, view_mask=None, proj_mats=None):
-        from mvropose_tpu.geometry.heatmap import soft_argmax_decode
+        from mvropose_tpu.geometry.heatmap import peak_refine_decode, soft_argmax_decode
 
         hm = jax.lax.stop_gradient(heatmaps).astype(jnp.float32)
-        xy, conf = soft_argmax_decode(hm, self.temperature)  # (..., J, 2), (..., J)
+        if self.decode == "refine":
+            xy, conf = peak_refine_decode(hm, temperature=self.temperature)
+        else:
+            xy, conf = soft_argmax_decode(hm, self.temperature)  # (..., J, 2), (..., J)
         h, w = hm.shape[-2], hm.shape[-1]
         xy_px = xy  # heatmap-pixel coords, kept for the triangulation branch
         xy = xy / jnp.asarray([w - 1.0, h - 1.0], jnp.float32) * 2.0 - 1.0
