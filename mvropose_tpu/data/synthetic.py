@@ -141,9 +141,42 @@ def render_blob_images(
     return jnp.tanh(img)
 
 
+def render_segment_images(
+    p0: jnp.ndarray,  # (..., L, 2) segment starts, image px
+    p1: jnp.ndarray,  # (..., L, 2) segment ends
+    image_hw: Tuple[int, int],
+    palette: jnp.ndarray,  # (L, 3)
+    width_sigma_px: float = 2.0,
+    noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Anti-aliased colored line segments -> images (..., H, W, 3) ~[-1, 1].
+
+    Each segment renders as a gaussian tube of its palette color (distance to
+    the clamped projection onto the segment). This is the link-geometry
+    counterpart of render_blob_images: real captures show LINKS, not just
+    joint dots, and link pixels carry orientation evidence the joint-origin
+    blobs cannot (VERDICT r2 weak item 7)."""
+    h, w = image_hw
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    g = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)  # (H, W, 2), xy order
+    p0e = p0[..., :, None, None, :]  # (..., L, 1, 1, 2)
+    ve = (p1 - p0)[..., :, None, None, :]
+    num = jnp.sum((g - p0e) * ve, axis=-1)
+    den = jnp.maximum(jnp.sum(ve * ve, axis=-1), 1e-8)
+    t = jnp.clip(num / den, 0.0, 1.0)[..., None]
+    d2 = jnp.sum((g - (p0e + t * ve)) ** 2, axis=-1)  # (..., L, H, W)
+    tubes = jnp.exp(-d2 / (2.0 * width_sigma_px**2))
+    img = jnp.einsum("...lhw,lc->...hwc", tubes, palette.astype(jnp.float32))
+    if noise is not None:
+        img = img + noise
+    return jnp.tanh(img)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("robot", "batch_size", "image_hw", "heatmap_hw", "noise_std"),
+    static_argnames=("robot", "batch_size", "image_hw", "heatmap_hw", "noise_std",
+                     "render"),
 )
 def synthesize_multiview_batch(
     robot: RobotSpec,
@@ -155,6 +188,7 @@ def synthesize_multiview_batch(
     angle_scale: float = 0.6,
     heatmap_sigma: float = 2.0,
     noise_std: float = 0.05,
+    render: str = "blob",
 ):
     """One fully-on-device multi-view batch with exact GT.
 
@@ -165,10 +199,19 @@ def synthesize_multiview_batch(
     keypoints_2d (B,V,J,2) image px, keypoints_3d (B,J,3), view_ids, view_mask).
     Angles are sampled uniform in +-angle_scale * (pi or 90deg) around a home
     pose, in the robot's native unit.
+
+    render="blob": one colored gaussian dot per joint origin (the minimal
+    localization task). render="link": colored line segments along the
+    kinematic links PLUS a tool-marker segment along the flange frame's
+    x-axis, and the marker tip joins the keypoint set (J = n_keypoints + 1).
+    The marker is what makes the final wrist roll observable - its FK
+    jacobian onto joint-ORIGIN keypoints is exactly zero (PARITY.md), but
+    real captures show oriented end-effector geometry, which this mode
+    reproduces in the framework's own rendering.
     """
     K, rvecs, tvecs = rig_arrays
     V = rvecs.shape[0]
-    J = robot.n_keypoints
+    J = robot.n_keypoints + (1 if render == "link" else 0)
     A = robot.n_joints
     h, w = image_hw
     hm_h, hm_w = heatmap_hw
@@ -180,7 +223,17 @@ def synthesize_multiview_batch(
         maxval=angle_scale * half_range,
     ).astype(jnp.float32)
 
-    kp3d = jax.vmap(lambda a: forward_kinematics(robot, a))(angles)  # (B, J, 3)
+    if render == "link":
+        from mvropose_tpu.geometry.robots import forward_kinematics_frames
+
+        def fk_with_marker(a):
+            pos, rot = forward_kinematics_frames(robot, a)
+            tool_tip = pos[-1] + 0.08 * rot[-1][:, 0]  # flange x-axis
+            return jnp.concatenate([pos, tool_tip[None]], axis=0)
+
+        kp3d = jax.vmap(fk_with_marker)(angles)  # (B, J+1, 3)
+    else:
+        kp3d = jax.vmap(lambda a: forward_kinematics(robot, a))(angles)  # (B, J, 3)
 
     def proj_one_view(rv, tv):
         return jax.vmap(lambda p: project_points(p, rv, tv, K, None))(kp3d)
@@ -188,9 +241,17 @@ def synthesize_multiview_batch(
     kp2d = jax.vmap(proj_one_view)(rvecs, tvecs)  # (V, B, J, 2)
     kp2d = jnp.transpose(kp2d, (1, 0, 2, 3))  # (B, V, J, 2)
 
-    palette = jnp.asarray(joint_palette(J))
     noise = noise_std * jax.random.normal(k_noise, (batch_size, V, h, w, 3))
-    images = render_blob_images(kp2d, image_hw, palette, noise=noise)
+    if render == "link":
+        # Segments: the kinematic links + the tool marker (flange -> tip).
+        links = jnp.asarray(robot.links, jnp.int32)  # (L, 2)
+        p0 = jnp.concatenate([kp2d[..., links[:, 0], :], kp2d[..., -2:-1, :]], axis=-2)
+        p1 = jnp.concatenate([kp2d[..., links[:, 1], :], kp2d[..., -1:, :]], axis=-2)
+        palette = jnp.asarray(joint_palette(p0.shape[-2]))
+        images = render_segment_images(p0, p1, image_hw, palette, noise=noise)
+    else:
+        palette = jnp.asarray(joint_palette(J))
+        images = render_blob_images(kp2d, image_hw, palette, noise=noise)
 
     scale = jnp.asarray([hm_w / w, hm_h / h], dtype=jnp.float32)
     heatmaps = render_heatmaps(kp2d * scale, hm_h, hm_w, sigma=heatmap_sigma)

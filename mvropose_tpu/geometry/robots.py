@@ -200,6 +200,40 @@ def forward_kinematics(
     return jnp.concatenate([base, positions], axis=0)
 
 
+def forward_kinematics_frames(
+    spec: RobotSpec,
+    joint_angles: jnp.ndarray,
+    base_rotation: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FK returning full frames: ((J+1, 3) positions, (J+1, 3, 3) rotations).
+
+    Same scan as forward_kinematics but keeps each link frame's rotation -
+    needed wherever joint ORIENTATION matters (e.g. rendering an
+    end-effector marker that reveals the wrist roll, whose jacobian onto
+    joint-origin positions is exactly zero). Row 0 is the base frame.
+    """
+    a, d, alpha, theta_off = _spec_tables(spec)
+    angles = jnp.asarray(joint_angles, dtype=jnp.float32)
+    if spec.angle_unit == "deg":
+        angles = jnp.deg2rad(angles)
+    theta = angles + theta_off
+
+    T0 = jnp.eye(4, dtype=jnp.float32)
+    if base_rotation is not None:
+        T0 = T0.at[:3, :3].set(jnp.asarray(base_rotation, dtype=jnp.float32))
+
+    builder = standard_dh_matrix if spec.convention == "standard" else modified_dh_matrix
+
+    def step(T, row):
+        a_i, d_i, alpha_i, theta_i = row
+        T_next = T @ builder(a_i, d_i, alpha_i, theta_i)
+        return T_next, T_next
+
+    _, Ts = jax.lax.scan(step, T0, (a, d, alpha, theta))
+    Ts = jnp.concatenate([T0[None], Ts], axis=0)  # (J+1, 4, 4)
+    return Ts[:, :3, 3], Ts[:, :3, :3]
+
+
 def forward_kinematics_batch(
     spec: RobotSpec,
     joint_angles: jnp.ndarray,

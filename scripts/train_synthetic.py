@@ -36,7 +36,8 @@ import numpy as np
 
 
 def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str = "query",
-                freeze_backbone: bool = False, with_layerscale: bool = False):
+                freeze_backbone: bool = False, with_layerscale: bool = False,
+                extra_keypoints: int = 0):
     from mvropose_tpu.models import (
         EstimatorConfig,
         MultiViewPoseEstimator,
@@ -57,7 +58,7 @@ def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str
     )
     cfg = EstimatorConfig(
         vit=vit,
-        num_joints=robot.n_keypoints,
+        num_joints=robot.n_keypoints + extra_keypoints,
         num_angles=robot.n_joints,
         heatmap_size=(image_size // 2, image_size // 2),
         max_views=4,
@@ -105,6 +106,12 @@ def main() -> None:
                    help="graft a converted DINO checkpoint (.npz/.pth, timm "
                         "or HF naming) into the backbone before training - "
                         "exercises models.dino_convert in the training path")
+    p.add_argument("--render", choices=("blob", "link"), default="blob",
+                   help="blob: joint-origin dots (minimal task). link: full "
+                        "link segments + an oriented tool marker whose tip "
+                        "joins the keypoint set - makes the wrist roll "
+                        "observable, as on real captures (the regime the "
+                        "PARITY observability caveat is about)")
     p.add_argument("--views", type=int, default=3)
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -112,8 +119,13 @@ def main() -> None:
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", default="runs/synth_sv")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the env-var override is "
+                        "ignored under the axon sitecustomize)")
     args = p.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     on_tpu = jax.default_backend() != "cpu"
@@ -139,6 +151,8 @@ def main() -> None:
     from mvropose_tpu.utils.metrics_writer import MetricWriter
 
     robot = get_robot(args.robot)
+    assert not (args.render == "link" and args.fk_loss_weight > 0), \
+        "FK-consistency loss projects the J-joint chain; link mode adds a keypoint"
     single = args.mode == "single"
     V = 1 if single else args.views
     rig = make_rig(n_views=max(V, 1), image_hw=(args.image_size, args.image_size))
@@ -149,6 +163,7 @@ def main() -> None:
         mv = synthesize_multiview_batch(
             robot, rig_arrs, key, n,
             image_hw=(args.image_size, args.image_size), heatmap_hw=(hm, hm),
+            render=args.render,
         )
         b = single_view_batch(mv) if single else mv
         if single and args.fk_loss_weight > 0:
@@ -190,6 +205,7 @@ def main() -> None:
         args.mode, robot, args.image_size, on_tpu, args.angle_head,
         freeze_backbone=args.freeze_backbone,
         with_layerscale=args.backbone_ckpt is not None,
+        extra_keypoints=1 if args.render == "link" else 0,
     )
     tcfg = TrainConfig(
         num_epochs=1,
@@ -257,8 +273,11 @@ def main() -> None:
         pck5 = pck_at_k(pred_xy * scale, gt_xy, k_px=5.0)
         pck2 = pck_at_k(pred_xy * scale, gt_xy, k_px=2.0 + scale)  # quantization-aware tight PCK
         fk_pred = jax.vmap(lambda a: forward_kinematics(robot, a))(pred_ang)
-        add_m = add_metric(fk_pred, batch["keypoints_3d"])
-        auc = add_auc(fk_pred, batch["keypoints_3d"], max_threshold_m=0.10)
+        # In link mode the GT keypoint set carries the extra tool-marker tip;
+        # ADD compares the FK chain (joint origins) only.
+        gt3 = batch["keypoints_3d"][..., : fk_pred.shape[-2], :]
+        add_m = add_metric(fk_pred, gt3)
+        auc = add_auc(fk_pred, gt3, max_threshold_m=0.10)
         mae = angle_mae(pred_ang, batch["angles"])
         # Per-joint MAE: FR5 joint 6 is a pure wrist roll that moves NO
         # joint-origin keypoint (FK jacobian column is exactly zero), so it
@@ -370,6 +389,9 @@ def main() -> None:
                     proj_mats=b.get("proj_mats"),
                 )
             angles_b = b["angles"] if use_gt_angles else ang_b
+            # PnP object points are the FK chain: drop any extra keypoint
+            # channels (link mode's tool-marker tip).
+            hm_b = hm_b[:, :, : robot.n_keypoints]
             out = jax.vmap(
                 lambda hm_s, ang_s, k: recover_pose_batch(
                     hm_s, ang_s, eye_base[: hm_b.shape[1]], Ks[: hm_b.shape[1]],
