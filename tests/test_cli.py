@@ -686,3 +686,38 @@ def test_cli_train_eval_geometric_angle_head(tmp_path):
     assert rc == 0
     rc = main(["eval", *common, "--params", str(workdir / "best_params.npz")])
     assert rc == 0
+
+
+def test_cli_serve_display_window_headless(monkeypatch):
+    """--display window drives the cv2.imshow canvas loop + 'q' quit
+    (reference DIP_REAL.py:218-271) without a real display: imshow/waitKey/
+    destroyAllWindows are stubbed, waitKey returns 'q' after a few frames so
+    the quit path executes end-to-end."""
+    import cv2
+
+    shown = {"n": 0, "shapes": []}
+
+    def fake_imshow(name, canvas):
+        shown["n"] += 1
+        shown["shapes"].append(canvas.shape)
+
+    def fake_waitKey(ms):
+        return ord("q") if shown["n"] >= 3 else 0
+
+    monkeypatch.setattr(cv2, "imshow", fake_imshow)
+    monkeypatch.setattr(cv2, "waitKey", fake_waitKey)
+    monkeypatch.setattr(cv2, "destroyAllWindows", lambda: None)
+
+    rc = main(
+        [
+            "serve", "--views", "2", "--fps", "60", "--frame-hw", "32", "48",
+            "--model-size", "32", "--hidden-size", "64", "--num-layers", "1",
+            "--duration", "20.0", "--display", "window",
+        ]
+    )
+    assert rc == 0
+    assert shown["n"] >= 3  # canvases rendered
+    # 'q' quit fired well before the 20 s duration budget (the loop exited
+    # because of the key, not the timer - enforced by the short test timeout).
+    for shape in shown["shapes"]:
+        assert len(shape) == 3 and shape[2] == 3
