@@ -42,6 +42,13 @@ def main() -> None:
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--noise-px", type=float, default=0.0,
+                   help="N(0, noise_px) heatmap-pixel noise added to the 2D "
+                        "keypoints before featurization/triangulation - the "
+                        "decode-noise-aware bound. At this rig (f=0.55*W, "
+                        "1.6 m) one image px ~ 2.3 cm in 3D, so j4/j5 "
+                        "(0.26/0.18 cm per deg) are noise-limited long "
+                        "before the exact bound.")
     p.add_argument("--out", default="runs/task_bound_mv.json")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the env-var override is "
@@ -73,8 +80,9 @@ def main() -> None:
 
     def features(key, n):
         """angles + the three exact featurizations, all on device."""
+        k_ang, k_noise = jax.random.split(key)
         angles = jax.random.uniform(
-            key, (n, robot.n_joints), minval=-0.6 * 90.0, maxval=0.6 * 90.0
+            k_ang, (n, robot.n_joints), minval=-0.6 * 90.0, maxval=0.6 * 90.0
         ).astype(jnp.float32)
         kp3d = jax.vmap(lambda a: forward_kinematics(robot, a))(angles)  # (B, J, 3)
 
@@ -83,6 +91,10 @@ def main() -> None:
 
         kp2d = jnp.transpose(jax.vmap(proj_view)(rvecs, tvecs), (1, 0, 2, 3))  # (B,V,J,2)
         kp2d_hm = kp2d * (hm / S)
+        if args.noise_px > 0:
+            kp2d_hm = kp2d_hm + args.noise_px * jax.random.normal(
+                k_noise, kp2d_hm.shape
+            )
         w = jnp.ones(kp2d_hm.shape[:-1], jnp.float32)
         tri = jax.vmap(lambda xy, wt: triangulate_keypoints(xy, projs, wt))(kp2d_hm, w)
         feats = {
