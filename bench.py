@@ -50,33 +50,51 @@ def main() -> None:
 
     # Build params WITHOUT compiling an init program on the TPU (the remote
     # compile of a full init graph costs minutes and contributes nothing to a
-    # throughput benchmark): eval_shape the init, then materialize zeros
-    # (batch_stats vars included) directly on device.
+    # throughput benchmark): eval_shape the init, then materialize RANDOM
+    # normals (not zeros - zeros would misrepresent any data-dependent hot
+    # path) in one device-side program.
+    from mvropose_tpu.utils.initializers import random_variables
+
     shapes = jax.eval_shape(
         lambda k: model.init(k, images, view_ids, view_mask), jax.random.PRNGKey(0)
     )
-    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    variables = random_variables(shapes)
 
     use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def serve_step(images, view_ids, view_mask, eps):
+    def serve_step(variables, images, view_ids, view_mask, eps):
         # eps (device scalar from the previous iteration's output) serializes
         # chained calls: through the tunneled-TPU (axon) backend
         # jax.block_until_ready does NOT synchronize, so honest timing needs
         # a real data dependency between iterations plus one final host fetch.
+        # `variables` is an ARGUMENT, not a closure: closed-over device arrays
+        # are embedded as program constants, and ~22M random floats blow the
+        # remote-compile request limit (HTTP 413).
         heatmaps, angles = model.apply(variables, images + eps, view_ids, view_mask)
         xy, conf = decode_keypoints(
             heatmaps, image_hw=(720, 1280), mode="argmax", use_pallas=use_pallas
         )
         return xy, conf, angles
 
+    # XLA's own cost analysis of the exact compiled serve program: the FLOP
+    # numerator for an honest inference MFU (same method as bench_train.py).
+    eps0 = jnp.zeros((), jnp.float32)
+    compiled = serve_step.lower(variables, images, view_ids, view_mask, eps0).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    from bench_train import peak_flops
+
+    peak = peak_flops(jax.devices()[0])
+
     def run_chain(n):
         """n chained steps ending in a scalar fetch; returns wall seconds."""
         eps = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
-            xy, conf, angles = serve_step(images, view_ids, view_mask, eps)
+            xy, conf, angles = serve_step(variables, images, view_ids, view_mask, eps)
             eps = jnp.reshape(conf, (-1,))[0] * 1e-12  # tiny but nonzero: no constant folding
         float(jax.device_get(eps))  # forces the whole chain
         return time.perf_counter() - t0
@@ -88,6 +106,7 @@ def main() -> None:
     dt = tn - t1  # per-call tunnel round-trip removed by differencing
 
     fps = iters * B / dt
+    step_s = dt / iters
     print(
         json.dumps(
             {
@@ -95,6 +114,9 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frame-sets/s (4cam@512px ViT-B/16 + decode)",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "tflops_per_step": round(flops / 1e12, 3),
+                "achieved_tflops_per_sec": round(flops / step_s / 1e12, 2),
+                "mfu": round(flops / step_s / peak, 4) if peak else None,
             }
         )
     )

@@ -93,21 +93,24 @@ def main() -> None:
 
     flat = images.reshape(B * V, S, S, 3)
 
+    # Weights ride as jit ARGUMENTS: closed-over device arrays embed as
+    # program constants, and random weights (incompressible, unlike zeros)
+    # blow the tunnel's remote-compile request limit (HTTP 413).
     @jax.jit
-    def f_backbone(eps, x):
-        return backbone.apply(bb_vars, x + eps)["patch_tokens"]
+    def f_backbone(eps, v, x):
+        return backbone.apply(v, x + eps)["patch_tokens"]
 
     @jax.jit
-    def f_stem(eps, x):
-        return stem.apply(stem_vars, x + eps, False)
+    def f_stem(eps, v, x):
+        return stem.apply(v, x + eps, False)
 
     @jax.jit
-    def f_full(eps, im, vi, vm):
-        return model.apply(variables, im + eps, vi, vm)
+    def f_full(eps, v, im, vi, vm):
+        return model.apply(v, im + eps, vi, vm)
 
     @jax.jit
-    def f_full_decode(eps, im, vi, vm):
-        hm, ang = model.apply(variables, im + eps, vi, vm)
+    def f_full_decode(eps, v, im, vi, vm):
+        hm, ang = model.apply(v, im + eps, vi, vm)
         xy, conf = decode_keypoints(hm, image_hw=(720, 1280), mode="argmax",
                                     use_pallas=use_pallas)
         return xy, conf, ang
@@ -133,11 +136,12 @@ def main() -> None:
         print(json.dumps(stages[-1]), flush=True)
 
     tok_scalar = lambda o: jnp.reshape(o, (-1,))[0].astype(jnp.float32) * 1e-12
-    stage("backbone_fwd_4x512", f_backbone, (flat,), tok_scalar)
-    stage("cnn_stem_4x512", f_stem, (flat,), lambda o: tok_scalar(o[0]))
-    stage("full_fwd", f_full, (images, view_ids, view_mask), lambda o: tok_scalar(o[0]))
-    stage("full_fwd_plus_decode", f_full_decode, (images, view_ids, view_mask),
-          lambda o: tok_scalar(o[1]))
+    stage("backbone_fwd_4x512", f_backbone, (bb_vars, flat), tok_scalar)
+    stage("cnn_stem_4x512", f_stem, (stem_vars, flat), lambda o: tok_scalar(o[0]))
+    stage("full_fwd", f_full, (variables, images, view_ids, view_mask),
+          lambda o: tok_scalar(o[0]))
+    stage("full_fwd_plus_decode", f_full_decode,
+          (variables, images, view_ids, view_mask), lambda o: tok_scalar(o[1]))
 
     # Frame-set (batch) scaling sweep of the full serve program.
     sweep = []
@@ -145,8 +149,8 @@ def main() -> None:
         im = jax.random.normal(jax.random.PRNGKey(b), (b, V, S, S, 3), jnp.float32)
         vi = jnp.tile(jnp.arange(V, dtype=jnp.int32), (b, 1))
         vm = jnp.ones((b, V), dtype=bool)
-        dt = timed(f_full_decode, (im, vi, vm), lambda o: tok_scalar(o[1]))
-        flops, nbytes = cost_of(f_full_decode, jnp.zeros(()), im, vi, vm)
+        dt = timed(f_full_decode, (variables, im, vi, vm), lambda o: tok_scalar(o[1]))
+        flops, nbytes = cost_of(f_full_decode, jnp.zeros(()), variables, im, vi, vm)
         sweep.append({
             "frame_sets": b,
             "ms": round(dt * 1e3, 3),

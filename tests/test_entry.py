@@ -18,7 +18,8 @@ import __graft_entry__ as entrymod
 
 def test_entry_shapes():
     fn, args = entrymod.entry()
-    images, view_ids, view_mask = args
+    variables, images, view_ids, view_mask = args
+    assert isinstance(variables, dict) and "params" in variables
     assert images.shape == (1, 4, 512, 512, 3)
     assert view_ids.shape == (1, 4) and view_mask.shape == (1, 4)
     out = jax.eval_shape(fn, *args)
