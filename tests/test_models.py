@@ -243,3 +243,25 @@ def test_geometric3d_head_mask_invariance_and_triangulation(rng):
         b["keypoints_2d"] * 0.5, jnp.ones(b["keypoints_2d"].shape[:-1])
     )
     np.testing.assert_allclose(np.asarray(tri), np.asarray(b["keypoints_3d"]), atol=1e-4)
+
+
+def test_s2d_conv_equivalence():
+    """The space-to-depth stem formulation is EXACTLY the 3x3 stride-2 conv.
+
+    scripts/bench_stem.py races the two on the chip (the s2d form widens the
+    contraction from C_in 3/16/32 to 12/64/128, fixing the MXU lane waste the
+    serve breakdown attributes the stem's 0.5% MFU to); this pins the math.
+    """
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.bench_stem import conv_ref, conv_s2d
+
+    rng = np.random.default_rng(3)
+    for C, F, S in ((3, 16, 64), (16, 32, 32), (32, 64, 16)):
+        x = jnp.asarray(rng.normal(size=(2, S, S, C)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, C, F)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(conv_s2d(x, w)), np.asarray(conv_ref(x, w)),
+            rtol=1e-5, atol=1e-5,
+        )
