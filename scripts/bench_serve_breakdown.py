@@ -2,7 +2,8 @@
 
 Decomposes the flagship serve forward (ViT-B/16 @512px, 4 views, fusion +
 heads + fused decode) into separately-compiled stages and reports, per stage:
-wall ms (chained+differenced, see bench.py for the tunnel-timing method),
+wall ms (on-device fori_loop with a full-output data dependency - see
+`timed` for why host-chained timing is wrong at sub-2ms stage scale),
 XLA cost-analysis FLOPs and HBM bytes, achieved TFLOP/s, MFU, and arithmetic
 intensity vs the chip's ridge point - i.e. whether the stage is compute- or
 bandwidth-bound. Also sweeps the batch (frame-set) axis to localize the flat
@@ -36,20 +37,33 @@ def cost_of(jitted, *args):
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
-def chain_time(fn, args, n, mk_scalar):
-    eps = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(eps, *args)
-        eps = mk_scalar(out)
-    float(jax.device_get(eps))
-    return time.perf_counter() - t0
+def timed(fn, args, mk_scalar, iters=100):
+    """On-device fori_loop timing: ONE dispatch runs `iters` applications
+    with a scalar data dependency between iterations.
 
+    The host-chained method (bench.py) has a ~1.4 ms/call dispatch floor
+    through the tunnel, which at sub-2ms stage scale dominates the kernel
+    itself (measured: the CNN stem "cost" 2.0 ms chained vs 0.6 ms with the
+    loop on device - see scripts/bench_stem.py). mk_scalar must consume the
+    FULL output (a sum, not an element): extracting one element lets XLA
+    dead-code-eliminate everything outside its receptive field.
+    """
 
-def timed(fn, args, mk_scalar, iters=10):
-    chain_time(fn, args, 2, mk_scalar)  # warmup/compile
-    t1 = min(chain_time(fn, args, 1, mk_scalar) for _ in range(3))
-    tn = min(chain_time(fn, args, iters + 1, mk_scalar) for _ in range(3))
+    def run(n):
+        @jax.jit
+        def prog(*a):
+            def step(_, eps):
+                return mk_scalar(fn(eps, *a))
+
+            return jax.lax.fori_loop(0, n, step, jnp.zeros((), jnp.float32))
+
+        float(jax.device_get(prog(*args)))  # compile + warm
+        t0 = time.perf_counter()
+        float(jax.device_get(prog(*args)))
+        return time.perf_counter() - t0
+
+    t1 = run(1)
+    tn = run(iters + 1)
     return (tn - t1) / iters
 
 
@@ -135,13 +149,17 @@ def main() -> None:
         })
         print(json.dumps(stages[-1]), flush=True)
 
-    tok_scalar = lambda o: jnp.reshape(o, (-1,))[0].astype(jnp.float32) * 1e-12
-    stage("backbone_fwd_4x512", f_backbone, (bb_vars, flat), tok_scalar)
-    stage("cnn_stem_4x512", f_stem, (stem_vars, flat), lambda o: tok_scalar(o[0]))
+    # Full-output sums (f32): every output tensor must feed the loop-carried
+    # scalar or XLA dead-code-eliminates the work that produced it.
+    def sum_all(*ts):
+        return sum(jnp.sum(t.astype(jnp.float32)) for t in ts) * 1e-12
+
+    stage("backbone_fwd_4x512", f_backbone, (bb_vars, flat), sum_all)
+    stage("cnn_stem_4x512", f_stem, (stem_vars, flat), lambda o: sum_all(*o))
     stage("full_fwd", f_full, (variables, images, view_ids, view_mask),
-          lambda o: tok_scalar(o[0]))
+          lambda o: sum_all(*o))
     stage("full_fwd_plus_decode", f_full_decode,
-          (variables, images, view_ids, view_mask), lambda o: tok_scalar(o[1]))
+          (variables, images, view_ids, view_mask), lambda o: sum_all(*o))
 
     # Frame-set (batch) scaling sweep of the full serve program.
     sweep = []
@@ -149,7 +167,7 @@ def main() -> None:
         im = jax.random.normal(jax.random.PRNGKey(b), (b, V, S, S, 3), jnp.float32)
         vi = jnp.tile(jnp.arange(V, dtype=jnp.int32), (b, 1))
         vm = jnp.ones((b, V), dtype=bool)
-        dt = timed(f_full_decode, (variables, im, vi, vm), lambda o: tok_scalar(o[1]))
+        dt = timed(f_full_decode, (variables, im, vi, vm), lambda o: sum_all(*o))
         flops, nbytes = cost_of(f_full_decode, jnp.zeros(()), variables, im, vi, vm)
         sweep.append({
             "frame_sets": b,

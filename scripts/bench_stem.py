@@ -12,8 +12,19 @@ same math, 4x fewer spatial positions, 4x wider contraction.
 This script races, at the serve shape (4 x 512 x 512 x 3, bf16):
   v0: the current stem (three 3x3 s2 convs via flax)
   v1: space-to-depth formulation of all three convs (C_in 12/64/128)
-and prints per-conv timings. Timing follows the tunneled-TPU rules
-(chained data dependency, 1-vs-N chain differencing; see bench.py).
+with an on-device fori_loop timer (ONE dispatch for N iterations - at
+sub-2ms kernel scale the host-chained method of bench.py is dominated by
+its ~1.4 ms/call dispatch floor through the tunnel).
+
+MEASURED VERDICT (v5e, on-device loop, full-sum dependency):
+  stem_v0 0.60-0.64 ms   stem_v1 1.77-1.79 ms   (conv1: 0.13 vs 1.03 ms)
+v0 WINS by ~3x: XLA:TPU already lowers small-C_in convs efficiently (it
+performs its own layout transformations), while the explicit s2d transpose
+costs a full HBM pass of sublane shuffles per conv. The stem therefore
+stays in its direct form. Second finding: the stem's real cost is ~0.6 ms,
+not the 2.0 ms the chained-timing serve breakdown first attributed to it -
+that number was the dispatch floor, and bench_serve_breakdown.py now uses
+the same on-device loop method.
 
 Exact equivalence of the rearranged conv is asserted in
 tests/test_models.py::test_s2d_conv_equivalence (CPU).
@@ -107,22 +118,35 @@ def stem_v1(x, ws, scales, biases):
     return x
 
 
-def time_fn(fn, args, iters=30):
-    """Chained timing: scalar of iteration i feeds iteration i+1."""
-    jitted = jax.jit(fn)
+def time_fn(fn, args, iters=100):
+    """On-device loop timing: a lax.fori_loop of `iters` applications with a
+    data dependency between iterations, ONE dispatch total.
 
-    def chain(n):
-        eps = jnp.zeros((), args[0].dtype)
+    At ~1 ms kernel scale the host-chained methodology (bench.py) hits its
+    floor - per-call dispatch through the tunnel is no longer amortized -
+    so the loop must live on device. Differencing a 1-iter against an
+    (iters+1)-iter program removes the fixed dispatch + fetch cost.
+    """
+
+    def body(x0, rest, n):
+        def step(_, eps):
+            out = fn(x0 + eps, *rest)
+            # Full-output reduction: extracting a single element would let
+            # XLA dead-code-eliminate all but that element's receptive field
+            # (measured: conv-only "timings" go to ~0 with out[0]).
+            return jnp.sum(out) * jnp.asarray(1e-12, out.dtype)
+
+        return jax.lax.fori_loop(0, n, step, jnp.zeros((), x0.dtype))
+
+    def run(n):
+        jitted = jax.jit(lambda x0, *rest: body(x0, rest, n))
+        float(jax.device_get(jitted(*args)))  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = jitted(args[0] + eps, *args[1:])
-            eps = jnp.reshape(out, (-1,))[0] * 1e-12
-        float(jax.device_get(eps))
+        float(jax.device_get(jitted(*args)))
         return time.perf_counter() - t0
 
-    chain(1)  # compile
-    t1 = chain(1)
-    tn = chain(iters + 1)
+    t1 = run(1)
+    tn = run(iters + 1)
     return (tn - t1) / iters
 
 
