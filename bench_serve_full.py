@@ -213,13 +213,13 @@ def main() -> None:
     def fetch_fn(handle):
         return tuple(np.asarray(o) for o in handle)
 
-    def run_pipeline(overlapped: bool, ticks: int = 40):
-        sources = [SyntheticSource(f"s{i}", hw=HW, fps=1000.0) for i in range(V)]
+    def run_pipeline(overlapped: bool, hw, dispatch, ticks: int = 40):
+        sources = [SyntheticSource(f"s{i}", hw=hw, fps=1000.0) for i in range(V)]
         if overlapped:
-            pipe = StreamingPipeline(sources, dispatch_fn, frame_hw=HW, fetch_fn=fetch_fn)
+            pipe = StreamingPipeline(sources, dispatch, frame_hw=hw, fetch_fn=fetch_fn)
         else:
             pipe = StreamingPipeline(
-                sources, lambda im, m: fetch_fn(dispatch_fn(im, m)), frame_hw=HW
+                sources, lambda im, m: fetch_fn(dispatch(im, m)), frame_hw=hw
             )
         pipe.start()
         try:
@@ -238,10 +238,54 @@ def main() -> None:
             pipe.stop()
 
     results["rig_pipeline"] = {
-        "overlapped": run_pipeline(True),
-        "serial": run_pipeline(False),
+        "overlapped": run_pipeline(True, HW, dispatch_fn),
+        "serial": run_pipeline(False, HW, dispatch_fn),
     }
     print(json.dumps({"bench": "rig_pipeline", **results["rig_pipeline"]}), flush=True)
+
+    # Small-frame variant: the 720p numbers above are TRANSPORT-bound in this
+    # environment (single-stream tunnel at ~17 MB/s; 11 MB/tick H2D), and the
+    # overlapped pipeline LOSES there because tick N's upload serializes with
+    # tick N-1's result fetch on the same stream - a transport artifact, not
+    # a rig-layer property. At 120x160 frames (0.23 MB/tick) the tunnel is
+    # out of the picture and the double-buffered tick's actual claim is
+    # measurable: wall/tick < host undistort + device step (the device step
+    # is the SAME 512px model - frames are upsampled on device).
+    hw_small = (120, 160)
+    K_s = jnp.asarray(
+        [[737.0 * hw_small[1] / HW[1], 0, hw_small[1] / 2],
+         [0, 737.0 * hw_small[0] / HW[0], hw_small[0] / 2], [0, 0, 1]], jnp.float32
+    )
+    grid_s = np.asarray(undistort_map(K_s, dist, *hw_small))
+    smap_x = np.ascontiguousarray(grid_s[1], np.float32)
+    smap_y = np.ascontiguousarray(grid_s[0], np.float32)
+
+    def dispatch_small(images_u8, mask_np):
+        und = np.stack(
+            [cv2.remap(images_u8[i], smap_x, smap_y, cv2.INTER_LINEAR) for i in range(V)]
+        )
+        return step1(jnp.asarray(und[None]), jnp.zeros((), jnp.float32))
+
+    results["rig_pipeline_smallframe"] = {
+        "frame_hw": list(hw_small),
+        "overlapped": run_pipeline(True, hw_small, dispatch_small),
+        "serial": run_pipeline(False, hw_small, dispatch_small),
+    }
+    print(json.dumps({"bench": "rig_pipeline_smallframe",
+                      **results["rig_pipeline_smallframe"]}), flush=True)
+
+    results["note"] = (
+        "h2d_ms, the full-tick sweep, and the 720p rig_pipeline rows are "
+        "dominated by the tunneled-TPU transport in this environment "
+        "(~17 MB/s single-stream host->device; 11 MB/tick at 4x720p, and "
+        "uploads serialize with result fetches, which is why the overlapped "
+        "720p pipeline measures SLOWER than serial). On a directly-attached "
+        "v5e (PCIe ~16 GB/s) the same transfer is <1 ms and the tick is "
+        "device_step-bound: ~20-33 ms full 6D (model + decode + FK + vmapped "
+        "RANSAC PnP) with the ~40 ms host undistort hidden by the "
+        "double-buffered tick - the rig_pipeline_smallframe rows measure "
+        "that overlap with the transport removed."
+    )
 
     with open("BENCH_SERVE.json", "w") as f:
         json.dump(results, f, indent=2)
