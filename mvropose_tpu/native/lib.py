@@ -10,7 +10,19 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parents[2] / "native" / "mvropose_native.cpp"
+# Repo checkout keeps the canonical source in top-level native/; installed
+# wheels ship a copy as package data next to this file (pyproject.toml).
+_SRC = next(
+    (
+        p
+        for p in (
+            Path(__file__).resolve().parents[2] / "native" / "mvropose_native.cpp",
+            Path(__file__).resolve().parent / "mvropose_native.cpp",
+        )
+        if p.exists()
+    ),
+    Path(__file__).resolve().parent / "mvropose_native.cpp",
+)
 _SO = Path(__file__).resolve().parent / "libmvropose_native.so"
 _build_lock = threading.Lock()
 

@@ -97,3 +97,20 @@ def test_frame_ring_no_torn_reads_under_contention():
     finally:
         stop.set()
         t.join()
+
+
+def test_packaged_native_source_in_sync():
+    """The wheel ships a copy of the C++ source as package data
+    (pyproject.toml [tool.setuptools.package-data], materialized from a repo
+    symlink); lib.py self-builds from whichever copy exists. Guard against
+    the two drifting (e.g. a checkout that materializes the symlink as a
+    regular file and then edits only one side)."""
+    from pathlib import Path
+
+    import mvropose_tpu.native.lib as nlib
+
+    pkg_copy = Path(nlib.__file__).resolve().parent / "mvropose_native.cpp"
+    repo_src = Path(nlib.__file__).resolve().parents[2] / "native" / "mvropose_native.cpp"
+    assert nlib._SRC.exists()
+    if pkg_copy.exists() and repo_src.exists():
+        assert pkg_copy.read_bytes() == repo_src.read_bytes()
