@@ -721,3 +721,55 @@ def test_cli_serve_display_window_headless(monkeypatch):
     # because of the key, not the timer - enforced by the short test timeout).
     for shape in shown["shapes"]:
         assert len(shape) == 3 and shape[2] == 3
+
+
+@pytest.mark.slow
+def test_dream_synthetic_generator_end_to_end(tmp_path):
+    """scripts/make_dream_synthetic.py writes the DREAM file schema such that
+    sync -> build_dream_single_view -> train runs end to end and the rendered
+    blobs sit AT the stored projected keypoints (the stored-kpt GT path)."""
+    import subprocess
+    import sys as _sys
+
+    import pandas as pd
+
+    script = Path(__file__).resolve().parents[1] / "scripts" / "make_dream_synthetic.py"
+    out = tmp_path / "ds"
+    subprocess.run(
+        [_sys.executable, str(script), "--out-dir", str(out), "--n-samples", "6",
+         "--image-hw", "64", "64"],
+        check=True, capture_output=True, timeout=300,
+    )
+    base = out / "panda_synth"
+    csv = tmp_path / "dream.csv"
+    assert main(["sync", "dream", "--base-dirs", str(base), "--out", str(csv)]) == 0
+    df = pd.read_csv(csv)
+    assert len(df) == 6
+
+    # Rendered blob peak lands at the stored projected keypoint (+-2 px incl.
+    # jpg compression): certify image<->stored-GT consistency per channel by
+    # palette color matching at the stored location.
+    import cv2 as _cv2
+
+    row = df.iloc[0]
+    img = _cv2.imread(str(base / "0000.rgb.jpg"))[..., ::-1].astype(np.float32)
+    from mvropose_tpu.data.sync import DREAM_KEYPOINT_NAMES
+    from mvropose_tpu.data.synthetic import joint_palette
+
+    pal = (joint_palette(7) * 0.5 + 0.5) * 255.0
+    for k, n in enumerate(DREAM_KEYPOINT_NAMES):
+        x, y = row[f"kpt_{n}_proj_x"], row[f"kpt_{n}_proj_y"]
+        patch = img[max(0, int(y) - 1): int(y) + 2, max(0, int(x) - 1): int(x) + 2]
+        # The blob's palette hue must dominate the local patch direction.
+        v = patch.reshape(-1, 3).mean(0) - img.mean((0, 1))
+        cos = float(np.dot(v, pal[k] - 127.5) / (np.linalg.norm(v) * np.linalg.norm(pal[k] - 127.5) + 1e-6))
+        assert cos > 0.5, (n, cos)
+
+    rc = main([
+        "train", "--robot", "dream", "--csv", str(csv),
+        "--dream-dirs", str(base), "--workdir", str(tmp_path / "run"),
+        "--image-hw", "64", "64", "--model-size", "64",
+        "--hidden-size", "64", "--num-layers", "1",
+        "--batch-size", "2", "--epochs", "1", "--val-split", "0.5", "--no-augment",
+    ])
+    assert rc == 0
