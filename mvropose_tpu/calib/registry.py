@@ -119,7 +119,8 @@ def load_dream_rig(
         heatmap_size=heatmap_size,
         sigma=sigma,
         max_views=1,
-        num_keypoints_override=7,  # DREAM's 7 named link keypoints
+        # keypoint count (7 named links) comes from the robot spec's
+        # keypoint_fk_indices - no override needed.
     )
 
 

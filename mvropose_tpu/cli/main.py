@@ -438,6 +438,32 @@ def _load_params_checked(params_path, init_params, angle_head: str):
         ) from e
 
 
+def _load_variables_checked(params_path, variables, angle_head: str):
+    """Restore BOTH trained collections into an eval_shape'd variables tree:
+    params, and the BatchNorm running stats (batch_stats) the stem/UNet head
+    carry. Inference with init-valued (let alone zero-valued) running stats
+    is silently wrong - a torch state_dict bundles running stats with the
+    weights, and so does save_params_npz since batch_stats were added."""
+    from mvropose_tpu.train.checkpoint import load_batch_stats_npz
+
+    variables = dict(variables)
+    variables["params"] = _load_params_checked(
+        params_path, variables["params"], angle_head
+    )
+    if "batch_stats" in variables:
+        variables["batch_stats"], complete = load_batch_stats_npz(
+            params_path, variables["batch_stats"]
+        )
+        if not complete:
+            print(
+                f"WARNING: {params_path} has no batch_stats (saved before they "
+                "were bundled); BatchNorm runs with init running stats - "
+                "re-export from the training workdir's orbax checkpoint for "
+                "correct inference."
+            )
+    return variables
+
+
 def _cmd_train(args) -> int:
     import pandas as pd
     import jax
@@ -699,10 +725,7 @@ def _cmd_eval(args) -> int:
     else:
         shapes = jax.eval_shape(lambda k: model.init(k, imgs), jax.random.PRNGKey(0))
     variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    variables = dict(variables)
-    variables["params"] = _load_params_checked(
-        args.params, variables["params"], cfg.angle_head
-    )
+    variables = _load_variables_checked(args.params, variables, cfg.angle_head)
 
     # Optional occlusion-robustness probe: solid random rectangles on the
     # model inputs (the reference's adversarial masking at inference,
@@ -770,15 +793,19 @@ def _cmd_eval(args) -> int:
     # 6D camera-pose recovery metric (rot/trans error of the RANSAC-PnP pose
     # vs the rig's calibrated extrinsics) - the headline quantity the
     # reference only eyeballs via reprojection overlays (Fr5_model_train.ipynb
-    # cell 14). Needs per-sample extrinsics in the batch.
-    if hasattr(ds, "with_extrinsics"):
+    # cell 14). Needs per-sample extrinsics in the batch; rigs without a
+    # calibrated extrinsic (DREAM stores camera-frame keypoints and no
+    # world->cam pose) have no GT to compare against - the batch's identity
+    # placeholder would report a meaningless ~90-130 deg "error".
+    rig_has_extrinsics = bool(rig.extrinsics)
+    if hasattr(ds, "with_extrinsics") and rig_has_extrinsics:
         ds.with_extrinsics = True
     from mvropose_tpu.pose import recover_pose_batch
     from mvropose_tpu.train.metrics import pose_rotation_err_deg, pose_translation_err_m
 
     def pose_errors(pred_hm, pred_ang, batch):
         """Per-valid-view recovered-pose errors; lists of floats + successes."""
-        if "rvec" not in batch:
+        if "rvec" not in batch or not rig_has_extrinsics:
             return [], [], []
         hm = pred_hm if multi_view else pred_hm[:, None]
         ang = pred_ang
@@ -861,17 +888,32 @@ def _cmd_eval(args) -> int:
         bump("pck", pck_at_k(pred_xy_img, gt_xy_img, k_px=args.pck_px, valid=kp_valid),
              float(jnp.sum(kp_valid)))
         gt_ang = jnp.asarray(batch["angles"])
-        bump("mae", angle_mae(pred_ang, gt_ang), pred_ang.shape[0])
+        # Per-SAMPLE validity for the angle-space metrics: a failed image load
+        # (weight-0 slot) feeds the model a zero image - averaging its garbage
+        # prediction with full weight silently corrupts MAE/ADD.
+        samp_w = (
+            jnp.any(jnp.asarray(batch["view_mask"]), axis=1)
+            if multi_view else jnp.asarray(batch["sample_weight"]) > 0
+        ).astype(jnp.float32)
+        n_samp = float(jnp.sum(samp_w))
+        bump("mae", angle_mae(pred_ang, gt_ang, valid=samp_w), n_samp)
         # ADD in FK space: distance between predicted- and GT-angle skeletons.
         fk_pred = forward_kinematics_batch(rig.robot, pred_ang)
         fk_gt = forward_kinematics_batch(rig.robot, gt_ang)
-        bump("add", add_metric(fk_pred, fk_gt), pred_ang.shape[0])
-        bump("auc", add_auc(fk_pred, fk_gt), pred_ang.shape[0])
+        bump("add", add_metric(fk_pred, fk_gt, valid=samp_w[:, None]), n_samp)
+        bump("auc", add_auc(fk_pred, fk_gt, valid=samp_w), n_samp)
         if tri_add is not None:
             tri_adds.extend(tri_add(pred_hm, batch, np.asarray(fk_gt)))
         r, t, s = pose_errors(pred_hm, pred_ang, batch)
         pose_rots.extend(r); pose_trans.extend(t); pose_succ.extend(s)
         n += int(n_valid)
+    if n == 0:
+        raise SystemExit(
+            "eval: every sample had weight 0 - no image loaded at the expected "
+            f"resolution {tuple(args.image_hw)} (the loader requires exact "
+            "size; pass --image-hw matching the dataset's images) or all "
+            "paths failed to read."
+        )
     mean = lambda k: acc[k][0] / max(acc[k][1], 1e-9)
     report = {
         f"pck@{args.pck_px}px": mean("pck"),  # k_px in image pixels
@@ -962,12 +1004,17 @@ def _cmd_serve(args) -> int:
         ),
         jax.random.PRNGKey(0),
     )
-    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # Zeros template EXCEPT BatchNorm running vars (init = ones; a zero
+    # running var makes rsqrt(var+eps) explode even for the params-less
+    # pipeline-smoke serve).
+    def _template_leaf(keypath, s):
+        name = str(getattr(keypath[-1], "key", "")) if keypath else ""
+        fill = jnp.ones if name == "var" else jnp.zeros
+        return fill(s.shape, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(_template_leaf, shapes)
     if args.params:
-        variables = dict(variables)
-        variables["params"] = _load_params_checked(
-            args.params, variables["params"], cfg.angle_head
-        )
+        variables = _load_variables_checked(args.params, variables, cfg.angle_head)
     view_ids = jnp.arange(args.views, dtype=jnp.int32)[None]
 
     # Optional per-camera undistortion: --calib-dir + --camera-keys binds the

@@ -229,11 +229,15 @@ def synthesize_multiview_batch(
         def fk_with_marker(a):
             pos, rot = forward_kinematics_frames(robot, a)
             tool_tip = pos[-1] + 0.08 * rot[-1][:, 0]  # flange x-axis
-            return jnp.concatenate([pos, tool_tip[None]], axis=0)
+            # Keypoint selection (identity unless the spec's keypoint set is
+            # a subset of the chain, e.g. DREAM's 7 named links).
+            return jnp.concatenate([robot.keypoints_from_fk(pos), tool_tip[None]], axis=0)
 
         kp3d = jax.vmap(fk_with_marker)(angles)  # (B, J+1, 3)
     else:
-        kp3d = jax.vmap(lambda a: forward_kinematics(robot, a))(angles)  # (B, J, 3)
+        kp3d = jax.vmap(
+            lambda a: robot.keypoints_from_fk(forward_kinematics(robot, a))
+        )(angles)  # (B, J, 3)
 
     def proj_one_view(rv, tv):
         return jax.vmap(lambda p: project_points(p, rv, tv, K, None))(kp3d)

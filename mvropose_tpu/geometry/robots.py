@@ -54,11 +54,20 @@ class RobotSpec:
     extrinsic_rvec_unit: str = "rad"
     # Keypoint skeleton links (index pairs) for visualization / ADD.
     links: Tuple[Tuple[int, int], ...] = ()
+    # Which FK chain origins the robot's KEYPOINT set corresponds to, when it
+    # is not the full [base]+joints chain. DREAM ships 7 named link keypoints
+    # while the panda chain has 8 origins; the PnP serve path must pair
+    # heatmap channel k with FK origin keypoint_fk_indices[k]
+    # (sync/DREAM_sync.py:18 names vs MvRoPose_FR3.py FK). None = identity.
+    keypoint_fk_indices: Tuple[int, ...] | None = None
 
     def __hash__(self):
         # Explicit hash (the dict field defeats the frozen-dataclass default)
         # so a RobotSpec can be a jit static argument.
-        return hash((self.name, self.convention, self.dh_params, self.angle_unit))
+        return hash(
+            (self.name, self.convention, self.dh_params, self.angle_unit,
+             self.keypoint_fk_indices)
+        )
 
     @property
     def n_joints(self) -> int:
@@ -66,7 +75,15 @@ class RobotSpec:
 
     @property
     def n_keypoints(self) -> int:
+        if self.keypoint_fk_indices is not None:
+            return len(self.keypoint_fk_indices)
         return self.n_joints + 1
+
+    def keypoints_from_fk(self, fk_points: jnp.ndarray) -> jnp.ndarray:
+        """Select the keypoint set from FK chain origins (..., n_joints+1, 3)."""
+        if self.keypoint_fk_indices is None:
+            return fk_points
+        return fk_points[..., jnp.asarray(self.keypoint_fk_indices), :]
 
     def base_rotation(self, view: str | None) -> np.ndarray:
         """(3, 3) base correction matrix for a named view (identity if none)."""
@@ -144,7 +161,16 @@ MECA500 = RobotSpec(
 
 # DREAM "panda": dataset ships precomputed 2D/3D keypoints, and the panda
 # chain is kinematically the FR3 chain; reuse it for the PnP serve path.
-DREAM_PANDA = dataclasses.replace(FR3, name="dream_panda", view_base_rotations_zyx_deg={})
+# The 7 DREAM keypoint names (panda_link0/2/3/4/6/7/hand, sync/DREAM_sync.py)
+# map onto the 8-origin chain by a fixed assignment; links remapped to the
+# 7-keypoint index space.
+DREAM_PANDA = dataclasses.replace(
+    FR3,
+    name="dream_panda",
+    view_base_rotations_zyx_deg={},
+    keypoint_fk_indices=(0, 2, 3, 4, 5, 6, 7),
+    links=((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)),
+)
 
 _REGISTRY = {r.name: r for r in (FR3, FR5, MECA500, DREAM_PANDA)}
 

@@ -56,7 +56,7 @@ def recover_pose_single_view(
     """Decode + FK + RANSAC PnP for one view; ArUco fallback on failure."""
     xy, conf = decode_keypoints(heatmaps, image_hw=image_hw, use_pallas=jax.default_backend() == "tpu")
     base = robot.base_rotation(view)
-    obj = forward_kinematics(robot, pred_angles, jnp.asarray(base))
+    obj = robot.keypoints_from_fk(forward_kinematics(robot, pred_angles, jnp.asarray(base)))
     weights = (conf >= confidence_threshold).astype(jnp.float32)
     result = solve_pnp_ransac(
         obj,
@@ -140,7 +140,9 @@ def recover_pose_batch(
     keys = jax.random.split(key, V)
 
     def per_view(base, xy_v, w_v, K_v, k_v):
-        obj = forward_kinematics(robot, pred_angles, base)
+        # Keypoint k pairs with FK origin keypoint_fk_indices[k] (DREAM's 7
+        # named links vs the 8-origin chain; identity for fr3/fr5/meca).
+        obj = robot.keypoints_from_fk(forward_kinematics(robot, pred_angles, base))
         return solve_pnp_ransac(
             obj, xy_v, K_v, weights=w_v, key=k_v, n_hypotheses=n_hypotheses
         )

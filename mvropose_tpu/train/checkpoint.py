@@ -89,13 +89,26 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_params_npz(path: str | Path, params: Any) -> None:
-    """Flat .npz export of params (the lightweight 'best model weights' file,
-    analogous to the reference's best_*.pth state_dict)."""
+def _flatten_names(tree: Any, prefix: str = "") -> dict:
     flat = {}
-    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = prefix + "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
         flat[name] = np.asarray(leaf)
+    return flat
+
+
+def save_params_npz(path: str | Path, params: Any, batch_stats: Any = None) -> None:
+    """Flat .npz export of params (the lightweight 'best model weights' file,
+    analogous to the reference's best_*.pth state_dict).
+
+    batch_stats (BatchNorm running mean/var - the stem and UNet head carry
+    them, mirroring the reference's BN layers) ride under a 'batch_stats/'
+    key prefix: a torch state_dict bundles running stats with the weights,
+    and inference is WRONG without them. Old params-only files stay loadable
+    (load_batch_stats_npz falls back to the BN init)."""
+    flat = _flatten_names(params)
+    if batch_stats is not None and jax.tree_util.tree_leaves(batch_stats):
+        flat.update(_flatten_names(batch_stats, "batch_stats/"))
     np.savez(path, **flat)
 
 
@@ -110,3 +123,29 @@ def load_params_npz(path: str | Path, template: Any) -> Any:
         assert arr.shape == tuple(leaf.shape), f"{name}: {arr.shape} vs {leaf.shape}"
         new_leaves.append(arr.astype(leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_batch_stats_npz(path: str | Path, template: Any) -> tuple[Any, bool]:
+    """Load the 'batch_stats/' collection from a save_params_npz file.
+
+    Returns (batch_stats, complete). For files written before batch_stats
+    were bundled, missing leaves take the flax BatchNorm INIT values (mean 0,
+    var 1) - never zeros, a zero running var makes every BN output explode -
+    and complete=False so callers can warn."""
+    data = np.load(path)
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves, complete = [], True
+    for keypath, leaf in leaves_paths:
+        name = "batch_stats/" + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+        )
+        if name in data:
+            arr = data[name]
+            assert arr.shape == tuple(leaf.shape), f"{name}: {arr.shape} vs {leaf.shape}"
+            new_leaves.append(arr.astype(leaf.dtype))
+        else:
+            complete = False
+            leaf_name = str(getattr(keypath[-1], "key", ""))
+            init = np.ones if leaf_name == "var" else np.zeros
+            new_leaves.append(init(tuple(leaf.shape), leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), complete

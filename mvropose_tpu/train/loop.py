@@ -116,7 +116,9 @@ def fit(
         val_loss = val_avg["val_loss"]
         if np.isfinite(val_loss) and val_loss < best_val:
             best_val = val_loss
-            save_params_npz(workdir / "best_params.npz", state.params)
+            save_params_npz(
+                workdir / "best_params.npz", state.params, batch_stats=state.batch_stats
+            )
         ckpt.save(int(state.step), state, CheckpointMeta(epoch=epoch + 1, best_val_loss=best_val))
 
         if on_epoch_end is not None:

@@ -44,17 +44,31 @@ def add_auc(
     gt_pts3d: jnp.ndarray,
     max_threshold_m: float = 0.10,
     n_steps: int = 50,
+    valid: jnp.ndarray | None = None,  # (...,) per-sample weights
 ) -> jnp.ndarray:
     """Area under the ADD pass-rate curve up to max_threshold (DREAM-style)."""
     d = jnp.linalg.norm(pred_pts3d - gt_pts3d, axis=-1)  # (..., J)
     per_sample = jnp.mean(d, axis=-1).reshape(-1)  # mean ADD per sample
     ths = jnp.linspace(0.0, max_threshold_m, n_steps)
-    pass_rate = jnp.mean(per_sample[None, :] <= ths[:, None], axis=1)
+    passed = (per_sample[None, :] <= ths[:, None]).astype(jnp.float32)
+    if valid is None:
+        pass_rate = jnp.mean(passed, axis=1)
+    else:
+        w = valid.astype(jnp.float32).reshape(-1)
+        pass_rate = jnp.sum(passed * w[None, :], axis=1) / (jnp.sum(w) + 1e-8)
     return jnp.trapezoid(pass_rate, ths) / max_threshold_m
 
 
-def angle_mae(pred_angles: jnp.ndarray, gt_angles: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jnp.abs(pred_angles - gt_angles))
+def angle_mae(
+    pred_angles: jnp.ndarray,
+    gt_angles: jnp.ndarray,
+    valid: jnp.ndarray | None = None,  # (...,) per-sample weights
+) -> jnp.ndarray:
+    err = jnp.mean(jnp.abs(pred_angles - gt_angles), axis=-1)  # (...,) per sample
+    if valid is None:
+        return jnp.mean(err)
+    w = jnp.broadcast_to(valid.astype(jnp.float32), err.shape)
+    return jnp.sum(err * w) / (jnp.sum(w) + 1e-8)
 
 
 def pose_rotation_err_deg(

@@ -63,8 +63,9 @@ def main() -> int:
     from mvropose_tpu.geometry.rotations import rodrigues_to_matrix
 
     robot = get_robot("dream_panda")  # FR3 chain, radians
-    # Fixed name->FK-origin assignment (7 of the chain's 8 origins).
-    fk_idx = np.array([0, 2, 3, 4, 5, 6, 7], dtype=np.int64)
+    # Name->FK-origin assignment comes from the robot spec (the same mapping
+    # the PnP serve path uses to pair heatmap channels with FK points).
+    fk_idx = np.asarray(robot.keypoint_fk_indices, dtype=np.int64)
     assert len(fk_idx) == len(DREAM_KEYPOINT_NAMES)
 
     h, w = args.image_hw

@@ -130,3 +130,52 @@ def test_checkpoint_restores_on_mesh(tmp_path, rng):
         restored, m = step(restored, sharded, jax.random.PRNGKey(5))
         assert np.isfinite(float(m["loss"]))
         mgr.close()
+
+
+def test_batch_stats_npz_roundtrip(tmp_path, rng):
+    """best_params.npz bundles BatchNorm running stats: inference from a
+    params-only file ran BN with whatever the eval template held (zeros =
+    rsqrt(0+eps) blow-ups) - the regression that broke cli eval/serve on
+    every trained checkpoint."""
+    from mvropose_tpu.train.checkpoint import load_batch_stats_npz
+
+    cfg = TrainConfig()
+    _, state, step, batch = _mk_state_and_step(rng, cfg)
+    # Two real steps so running stats move away from their init values.
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    assert any(
+        float(jnp.abs(x).sum()) > 0
+        for x in jax.tree_util.tree_leaves(state.batch_stats)
+    )
+    path = tmp_path / "best.npz"
+    save_params_npz(path, state.params, batch_stats=state.batch_stats)
+
+    template = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), state.batch_stats)
+    loaded, complete = load_batch_stats_npz(path, template)
+    assert complete
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.batch_stats), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batch_stats_npz_legacy_fallback(tmp_path, rng):
+    """Files saved before batch_stats were bundled load with the flax BN
+    INIT values (mean 0 / var ONE - never zero var) and complete=False."""
+    from mvropose_tpu.train.checkpoint import load_batch_stats_npz
+
+    cfg = TrainConfig()
+    _, state, _, _ = _mk_state_and_step(rng, cfg)
+    path = tmp_path / "legacy.npz"
+    save_params_npz(path, state.params)  # params only, old format
+
+    template = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), state.batch_stats)
+    loaded, complete = load_batch_stats_npz(path, template)
+    assert not complete
+    flat = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    assert flat, "model has no batch_stats - test needs a BN-carrying model"
+    for keypath, leaf in flat:
+        name = str(getattr(keypath[-1], "key", ""))
+        expected = 1.0 if name == "var" else 0.0
+        np.testing.assert_array_equal(np.asarray(leaf), np.full(leaf.shape, expected))

@@ -492,6 +492,10 @@ def test_cli_dream_train(tmp_path):
     assert rc == 0
     rec = json.loads((workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()[-1])
     assert np.isfinite(rec["val_loss"])
+    # The exported weights must bundle BN running stats - inference is
+    # silently wrong without them (see load_batch_stats_npz).
+    saved = np.load(workdir / "best_params.npz")
+    assert any(k.startswith("batch_stats/") for k in saved.keys())
 
 
 def test_cli_fr3_single_view_train(tmp_path):

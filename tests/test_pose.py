@@ -246,3 +246,46 @@ def test_triangulated_frame_is_base_rotated_fk():
     err_raw_fk = np.linalg.norm(got - fk, axis=-1)[ob]
     assert np.median(err_rotated) < 0.05       # correct frame: cm-level
     assert np.median(err_raw_fk) > 5 * np.median(err_rotated)  # the bug's frame
+
+
+def test_recovery_with_keypoint_fk_subset():
+    """DREAM-style keypoint sets (7 named links, 8-origin chain): the PnP
+    path must pair heatmap channel k with FK origin keypoint_fk_indices[k]
+    (the 7-vs-8 shape mismatch this guards regressed cli eval --robot dream)."""
+    from mvropose_tpu.geometry.robots import DREAM_PANDA
+    from mvropose_tpu.pose import recover_pose_single_view
+
+    assert DREAM_PANDA.n_keypoints == 7
+    rng = np.random.default_rng(3)
+    angles = rng.uniform(-1.0, 1.0, size=7)
+    rvec = np.array([0.15, -0.3, 0.05])
+    tvec = np.array([0.05, -0.1, 1.6])
+
+    pts = DREAM_PANDA.keypoints_from_fk(
+        forward_kinematics(DREAM_PANDA, jnp.asarray(angles, jnp.float32))
+    )
+    assert pts.shape == (7, 3)
+    px = np.asarray(
+        project_points(
+            pts, jnp.asarray(rvec, jnp.float32), jnp.asarray(tvec, jnp.float32),
+            jnp.asarray(K, jnp.float32), None,
+        )
+    )
+    kp_hm = px * np.array([HM / IMG_HW[1], HM / IMG_HW[0]])
+    maps = np.asarray(render_heatmaps(jnp.asarray(kp_hm, jnp.float32), HM, HM, sigma=2.0))
+    heatmaps = jnp.asarray(maps * 6.0 - 3.0)
+
+    res = recover_pose_single_view(
+        heatmaps, jnp.asarray(angles, jnp.float32), DREAM_PANDA, K, IMG_HW,
+        view=None, key=jax.random.PRNGKey(1),
+    )
+    assert res.success
+    R_rec = np.asarray(rodrigues_to_matrix(jnp.asarray(res.rvec, jnp.float32)))
+    R_gt = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec, jnp.float32)))
+    ang_err = np.degrees(
+        np.arccos(np.clip((np.trace(R_rec @ R_gt.T) - 1) / 2, -1, 1))
+    )
+    # link6/link7 origins coincide exactly (6 distinct points effectively);
+    # decode quantization at 128px heatmaps bounds accuracy, not the pairing.
+    assert ang_err < 8.0, ang_err
+    assert np.linalg.norm(res.tvec - tvec) < 0.15

@@ -158,6 +158,27 @@ def test_eval_step_and_metrics(rng):
     assert abs(add - np.sqrt(3)) < 1e-5
 
 
+def test_angle_metrics_ignore_weight0_samples():
+    """Failed image loads produce weight-0 batch slots whose model outputs
+    are garbage; the angle-space metrics must exclude them (the bug: eval
+    averaged MAE/ADD/AUC over ALL slots, so one dead slot corrupted every
+    reported number)."""
+    from mvropose_tpu.train.metrics import angle_mae, add_auc
+
+    gt = jnp.zeros((3, 5))
+    pred = jnp.stack([jnp.zeros(5), jnp.zeros(5), jnp.full(5, 100.0)])  # slot 2 garbage
+    w = jnp.array([1.0, 1.0, 0.0])
+    assert float(angle_mae(pred, gt, valid=w)) == 0.0
+    assert float(angle_mae(pred, gt)) > 30.0  # unweighted would be corrupted
+
+    gt3 = jnp.zeros((3, 4, 3))
+    pred3 = gt3.at[2].add(100.0)  # slot 2: 100 m off, every threshold fails
+    assert float(add_metric(pred3, gt3, valid=w[:, None])) == 0.0
+    auc_w = float(add_auc(pred3, gt3, valid=w))
+    assert auc_w > 0.99  # valid slots are exact -> full area
+    assert float(add_auc(pred3, gt3)) < 0.7  # unweighted drags the curve down
+
+
 @pytest.mark.slow
 def test_fk_consistency_loss_trains(rng):
     """FK-consistency: projected FK(pred angles) pulled toward GT 2D points.
