@@ -497,6 +497,33 @@ def test_cli_dream_train(tmp_path):
     saved = np.load(workdir / "best_params.npz")
     assert any(k.startswith("batch_stats/") for k in saved.keys())
 
+    # Eval on the trained checkpoint: exercises arch restore from
+    # model_config.json, batch_stats loading, the 7-keypoint DREAM set, and
+    # valid-sample counting (samples > 0 means images actually loaded at
+    # --image-hw; the regression was a silent all-weight-0 eval).
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "eval", "--robot", "dream", "--csv", str(csv),
+            "--dream-dirs", str(base), "--params", str(workdir / "best_params.npz"),
+            "--image-hw", "60", "80", "--batch-size", "2", "--single-view",
+        ])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["samples"] == 4
+    assert np.isfinite(report["angle_mae"]) and np.isfinite(report["add_m"])
+
+    # Wrong --image-hw must fail loudly, not report metrics over zero samples.
+    with pytest.raises(SystemExit, match="weight 0"):
+        main([
+            "eval", "--robot", "dream", "--csv", str(csv),
+            "--dream-dirs", str(base), "--params", str(workdir / "best_params.npz"),
+            "--image-hw", "480", "640", "--batch-size", "2", "--single-view",
+        ])
+
 
 def test_cli_fr3_single_view_train(tmp_path):
     """FR3 --single-view (reference Franka notebook path) trains end to end."""
