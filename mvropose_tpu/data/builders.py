@@ -126,8 +126,17 @@ def build_dream_single_view(
     paths, angles = _paths_and_angles(df, [f"joint_{i}" for i in range(1, 8)])
     kp_cols = [f"kpt_{n}_proj_{ax}" for n in DREAM_KEYPOINT_NAMES for ax in ("x", "y")]
     kps_all = df[kp_cols].to_numpy(np.float32).reshape(len(df), len(DREAM_KEYPOINT_NAMES), 2)
+    # Camera-frame 3D keypoint locations (the sync schema always carries
+    # them, sync.py::sync_dream) - the GT-pose-by-alignment input for the
+    # eval pose metrics (rotations.kabsch).
+    loc_cols = [f"kpt_{n}_loc_{ax}" for n in DREAM_KEYPOINT_NAMES for ax in ("x", "y", "z")]
+    locs_all = (
+        df[loc_cols].to_numpy(np.float32).reshape(len(df), len(DREAM_KEYPOINT_NAMES), 3)
+        if all(c in df.columns for c in loc_cols)
+        else [None] * len(df)
+    )
     samples = []
-    for path, ang, kps in zip(paths, angles, kps_all):
+    for path, ang, kps, loc in zip(paths, angles, kps_all, locs_all):
         ckey = default_key
         for k in keys:
             view_name = k.rsplit("_", 1)[0]
@@ -137,7 +146,8 @@ def build_dream_single_view(
         view = ckey.rsplit("_", 1)[0]
         samples.append(
             SingleViewSample(
-                image_path=path, camera_key=ckey, view=view, angles=ang, keypoints_2d=kps
+                image_path=path, camera_key=ckey, view=view, angles=ang,
+                keypoints_2d=kps, keypoints_3d_cam=loc,
             )
         )
     return SingleViewDataset(samples, rig, image_hw)

@@ -47,6 +47,11 @@ class SingleViewSample:
     view: str
     angles: np.ndarray  # (A,) native units
     keypoints_2d: np.ndarray | None = None  # (J, 2) raw-image px (DREAM-style)
+    # Camera-frame 3D keypoints (J, 3) when the dataset stores them (DREAM's
+    # kpt_*_loc_* columns). No extrinsic is shipped with such datasets; a
+    # GT camera pose is recoverable per-sample by rigid (Kabsch) alignment
+    # of FK(gt angles) to these points - see rotations.kabsch.
+    keypoints_3d_cam: np.ndarray | None = None
     # Optional robot ROI (x1, y1, x2, y2) in raw-image px: the sample is
     # cropped to this box and stretch-resized to the dataset image_hw, with
     # GT keypoints transformed to match (the reference's precomputed
@@ -238,6 +243,12 @@ class SingleViewDataset:
         self.extr_key_fn = extr_key_fn
         self.with_extrinsics = with_extrinsics
         self.undistort_on_host = undistort_on_host
+        # Datasets whose samples carry camera-frame 3D keypoints (DREAM)
+        # emit them as batch["keypoints_3d_cam"] (J, 3) - the GT-pose-by-
+        # alignment input for the eval pose metrics.
+        self.has_kp3d = bool(self.samples) and all(
+            s.keypoints_3d_cam is not None for s in self.samples
+        )
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -263,6 +274,7 @@ class SingleViewDataset:
             angles = np.zeros((B, A), np.float32)
             kpts = np.zeros((B, J, 2), np.float32)
             weight = np.zeros((B,), np.float32)
+            kp3d = np.zeros((B, J, 3), np.float32) if self.has_kp3d else None
             if self.with_extrinsics:
                 rvecs = np.zeros((B, 3), np.float32)
                 tvecs = np.zeros((B, 3), np.float32)
@@ -295,6 +307,8 @@ class SingleViewDataset:
                 cam_idx[slot] = ci
                 angles[slot] = s.angles
                 kpts[slot] = kp
+                if kp3d is not None:
+                    kp3d[slot] = s.keypoints_3d_cam
                 weight[slot] = 1.0
                 if self.with_extrinsics:
                     extr = rig.extrinsics.get(ek or s.camera_key)
@@ -312,6 +326,8 @@ class SingleViewDataset:
             }
             if self.with_extrinsics:
                 batch.update(rvec=rvecs, tvec=tvecs, K=Ks, base_rotation=base_rots)
+            if kp3d is not None:
+                batch["keypoints_3d_cam"] = kp3d
             yield batch
 
 

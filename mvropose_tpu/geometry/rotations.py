@@ -153,3 +153,36 @@ def quat_angular_distance(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     q2 = q2 / (jnp.linalg.norm(q2) + _EPS)
     dot = jnp.abs(jnp.sum(q1 * q2))
     return 2.0 * jnp.arccos(jnp.clip(dot, 0.0, 1.0))
+
+
+def kabsch(
+    src: jnp.ndarray,  # (N, 3) points in frame A
+    dst: jnp.ndarray,  # (N, 3) the same points in frame B
+    weights: jnp.ndarray | None = None,  # (N,) non-negative
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Least-squares rigid alignment: (R, t) with dst ~= src @ R.T + t.
+
+    Weighted Kabsch via SVD of the cross-covariance, with the det-sign fix
+    for reflections. Used to derive a GROUND-TRUTH camera pose from datasets
+    that store camera-frame 3D keypoints but no extrinsic (DREAM's
+    kpt_*_loc_* columns): aligning FK(gt angles) in the robot base frame to
+    the stored camera-frame points recovers the exact base->camera transform,
+    which the PnP-recovered pose can then be scored against (the DREAM
+    paper's own evaluation protocol recovers pose with PnP and reports ADD
+    in the camera frame). Jittable; weights let weight-0 slots of a padded
+    batch drop out.
+    """
+    src = jnp.asarray(src)
+    dst = jnp.asarray(dst)
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], dtype=src.dtype)
+    w = weights[..., None] / (jnp.sum(weights) + _EPS)
+    mu_s = jnp.sum(src * w, axis=-2)
+    mu_d = jnp.sum(dst * w, axis=-2)
+    H = jnp.einsum("ni,nj,n->ij", src - mu_s, dst - mu_d, weights)
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    S = jnp.diag(jnp.stack([jnp.ones((), src.dtype), jnp.ones((), src.dtype), d]))
+    R = Vt.T @ S @ U.T
+    t = mu_d - R @ mu_s
+    return R, t

@@ -289,3 +289,51 @@ def test_recovery_with_keypoint_fk_subset():
     # decode quantization at 128px heatmaps bounds accuracy, not the pairing.
     assert ang_err < 8.0, ang_err
     assert np.linalg.norm(res.tvec - tvec) < 0.15
+
+
+def test_kabsch_gt_pose_matches_pnp_frame():
+    """The eval's GT-pose-by-alignment path (DREAM: no extrinsic shipped,
+    camera-frame 3D keypoints stored): kabsch(FK(gt angles) -> stored points)
+    must live in the SAME frame the PnP serve path solves in, so that
+    pose_rotation_err between them is ~decode noise, not a convention
+    mismatch."""
+    from mvropose_tpu.geometry.robots import DREAM_PANDA
+    from mvropose_tpu.geometry.rotations import kabsch, matrix_to_rodrigues
+    from mvropose_tpu.pose import recover_pose_single_view
+
+    rng = np.random.default_rng(11)
+    angles = rng.uniform(-1.0, 1.0, size=7).astype(np.float32)
+    rvec = np.array([0.2, -0.25, 0.1], np.float32)
+    tvec = np.array([0.0, -0.05, 1.5], np.float32)
+    R_true = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec)))
+
+    fk_kp = DREAM_PANDA.keypoints_from_fk(
+        forward_kinematics(DREAM_PANDA, jnp.asarray(angles))
+    )  # (7, 3) base frame
+    loc_cam = np.asarray(fk_kp) @ R_true.T + tvec  # what DREAM stores
+
+    # 1) Alignment-GT is exact.
+    R_hat, t_hat = kabsch(fk_kp, jnp.asarray(loc_cam))
+    np.testing.assert_allclose(np.asarray(R_hat), R_true, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_hat), tvec, atol=1e-4)
+    rv_gt = np.asarray(matrix_to_rodrigues(R_hat))
+
+    # 2) PnP on perfect heatmaps recovers a pose in the same frame: the
+    #    geodesic error vs the alignment-GT is decode-quantization small.
+    px = np.asarray(
+        project_points(
+            fk_kp, jnp.asarray(rvec), jnp.asarray(tvec), jnp.asarray(K, jnp.float32), None
+        )
+    )
+    kp_hm = px * np.array([HM / IMG_HW[1], HM / IMG_HW[0]])
+    maps = np.asarray(render_heatmaps(jnp.asarray(kp_hm, jnp.float32), HM, HM, sigma=2.0))
+    res = recover_pose_single_view(
+        jnp.asarray(maps * 6.0 - 3.0), jnp.asarray(angles), DREAM_PANDA, K, IMG_HW,
+        view=None, key=jax.random.PRNGKey(0),
+    )
+    assert res.success
+    R_pnp = np.asarray(rodrigues_to_matrix(jnp.asarray(res.rvec, jnp.float32)))
+    R_gt = np.asarray(rodrigues_to_matrix(jnp.asarray(rv_gt, jnp.float32)))
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(R_pnp @ R_gt.T) - 1) / 2, -1, 1)))
+    assert ang_err < 8.0, ang_err
+    assert np.linalg.norm(res.tvec - np.asarray(t_hat)) < 0.15

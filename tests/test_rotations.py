@@ -76,3 +76,36 @@ def test_quat_angular_distance(rng):
     q2 = R.from_rotvec([0, 0, 0.5]).as_quat()
     d = float(rot.quat_angular_distance(jnp.asarray(q1), jnp.asarray(q2)))
     assert abs(d - 0.5) < 1e-5
+
+
+def test_kabsch_exact_and_weighted(rng):
+    """kabsch recovers an exact rigid transform, and weight-0 points (padded
+    batch slots / invalid keypoints) cannot corrupt it."""
+    pts = rng.normal(size=(7, 3)).astype(np.float32)
+    R_true = R.from_rotvec([0.3, -0.5, 0.9]).as_matrix().astype(np.float32)
+    t_true = np.array([0.1, -0.2, 1.5], np.float32)
+    dst = pts @ R_true.T + t_true
+
+    R_hat, t_hat = rot.kabsch(jnp.asarray(pts), jnp.asarray(dst))
+    np.testing.assert_allclose(np.asarray(R_hat), R_true, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_hat), t_true, atol=1e-5)
+
+    corrupted = dst.copy()
+    corrupted[3] += 100.0
+    w = np.ones(7, np.float32)
+    w[3] = 0.0
+    R_hat, t_hat = rot.kabsch(jnp.asarray(pts), jnp.asarray(corrupted), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(R_hat), R_true, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_hat), t_true, atol=1e-5)
+
+
+def test_kabsch_reflection_guard(rng):
+    """Near-planar point sets must still return a proper rotation
+    (det +1), not a reflection."""
+    pts = rng.normal(size=(6, 3)).astype(np.float32)
+    pts[:, 2] *= 1e-4  # almost planar
+    R_true = R.from_rotvec([0.0, 1.2, 0.4]).as_matrix().astype(np.float32)
+    dst = pts @ R_true.T
+    R_hat, _ = rot.kabsch(jnp.asarray(pts), jnp.asarray(dst))
+    assert float(jnp.linalg.det(R_hat)) > 0.99
+    np.testing.assert_allclose(np.asarray(R_hat), R_true, atol=1e-3)
