@@ -868,6 +868,7 @@ def _cmd_eval(args) -> int:
 
     tri_adds, pose_rots, pose_trans, pose_succ, pnp_adds, n = [], [], [], [], [], 0
     pose_rots_gt, pose_trans_gt, pnp_adds_gt = [], [], []
+    per_joint_sum = None
     img_h, img_w = args.image_hw
     for batch in ds.batches(args.batch_size):
         imgs, gt_hms = pre(
@@ -921,6 +922,10 @@ def _cmd_eval(args) -> int:
         ).astype(jnp.float32)
         n_samp = float(jnp.sum(samp_w))
         bump("mae", angle_mae(pred_ang, gt_ang, valid=samp_w), n_samp)
+        # Per-joint MAE (the synthetic harness's committed-run format): the
+        # scalar hides which joints converged vs sit at the prior floor.
+        pj = jnp.sum(jnp.abs(pred_ang - gt_ang) * samp_w[:, None], axis=0)
+        per_joint_sum = per_joint_sum + np.asarray(pj) if per_joint_sum is not None else np.asarray(pj)
         # ADD in FK space: distance between predicted- and GT-angle skeletons.
         fk_pred = forward_kinematics_batch(rig.robot, pred_ang)
         fk_gt = forward_kinematics_batch(rig.robot, gt_ang)
@@ -962,6 +967,9 @@ def _cmd_eval(args) -> int:
     report = {
         f"pck@{args.pck_px}px": mean("pck"),  # k_px in image pixels
         "angle_mae": mean("mae"),
+        "angle_mae_per_joint": [
+            round(float(v), 4) for v in (per_joint_sum / max(acc["mae"][1], 1e-9))
+        ] if per_joint_sum is not None else [],
         "add_m": mean("add"),
         "add_auc@10cm": mean("auc"),
         "samples": n,
