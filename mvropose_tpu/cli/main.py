@@ -1034,12 +1034,10 @@ def _cmd_serve(args) -> int:
         _r = _get_robot(args.pose_robot)
         n_joints, n_angles = _r.n_keypoints, _r.n_joints
     saved = _read_model_config(args.params) if args.params else None
+    single_view_ckpt = saved is not None and saved[2] == "single_view"
     if saved is not None:
         cfg, model_size, kind = saved
-        if kind != "multi_view":
-            raise SystemExit("serve batches all cameras through a multi_view "
-                             f"model but the checkpoint is {kind}")
-        if args.views > cfg.max_views:
+        if kind == "multi_view" and args.views > cfg.max_views:
             raise SystemExit(
                 f"--views {args.views} exceeds the trained max_views {cfg.max_views}"
             )
@@ -1060,16 +1058,30 @@ def _cmd_serve(args) -> int:
         )
         cfg = EstimatorConfig(vit=vit, num_joints=n_joints, num_angles=n_angles,
                               max_views=args.views, angle_head=args.angle_head)
-    model = MultiViewPoseEstimator(cfg)
-    shapes = jax.eval_shape(
-        lambda k: model.init(
-            k,
-            jnp.zeros((1, args.views, model_size, model_size, 3)),
-            jnp.zeros((1, args.views), jnp.int32),
-            jnp.zeros((1, args.views), bool),
-        ),
-        jax.random.PRNGKey(0),
-    )
+    if single_view_ckpt:
+        # Single-view checkpoints (the DREAM / Fr5 single-view regimes) serve
+        # every camera as one device batch of size V through the per-view
+        # model; per-camera angle estimates are masked-averaged into the
+        # rig's one physical state (the reference serves single-view models
+        # per camera too, DIP_REAL.py:218-271 - one forward per window).
+        from mvropose_tpu.models import SingleViewPoseEstimator
+
+        model = SingleViewPoseEstimator(cfg)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((args.views, model_size, model_size, 3))),
+            jax.random.PRNGKey(0),
+        )
+    else:
+        model = MultiViewPoseEstimator(cfg)
+        shapes = jax.eval_shape(
+            lambda k: model.init(
+                k,
+                jnp.zeros((1, args.views, model_size, model_size, 3)),
+                jnp.zeros((1, args.views), jnp.int32),
+                jnp.zeros((1, args.views), bool),
+            ),
+            jax.random.PRNGKey(0),
+        )
     # Zeros template EXCEPT BatchNorm running vars (init = ones; a zero
     # running var makes rsqrt(var+eps) explode even for the params-less
     # pipeline-smoke serve).
@@ -1197,8 +1209,14 @@ def _cmd_serve(args) -> int:
         from mvropose_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
 
         imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        hm, ang = model.apply(variables, imgs[None], view_ids, mask[None],
-                              proj_mats=serve_pm)
+        if single_view_ckpt:
+            hm_v, ang_pc = model.apply(variables, imgs)  # (V,J,h,w), (V,A)
+            m = mask.astype(ang_pc.dtype)[:, None]
+            ang = (jnp.sum(ang_pc * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0))[None]
+            hm = hm_v[None]
+        else:
+            hm, ang = model.apply(variables, imgs[None], view_ids, mask[None],
+                                  proj_mats=serve_pm)
         if recover is not None:
             pose = recover(hm[0], ang[0])
             return pose["keypoints_xy"], pose["confidence"], ang, pose["rvec"], pose["tvec"], pose["success"]

@@ -524,6 +524,16 @@ def test_cli_dream_train(tmp_path):
             "--image-hw", "480", "640", "--batch-size", "2", "--single-view",
         ])
 
+    # Single-view checkpoints must be servable (every camera as one device
+    # batch through the per-view model, masked-mean angles) - previously
+    # serve rejected anything but multi_view checkpoints.
+    rc = main([
+        "serve", "--replay-dir", str(base), "--views", "2", "--fps", "30",
+        "--frame-hw", "60", "80", "--params", str(workdir / "best_params.npz"),
+        "--recover-pose", "--pose-robot", "dream_panda", "--duration", "1.0",
+    ])
+    assert rc == 0
+
 
 def test_cli_fr3_single_view_train(tmp_path):
     """FR3 --single-view (reference Franka notebook path) trains end to end."""
