@@ -179,3 +179,39 @@ def test_batch_stats_npz_legacy_fallback(tmp_path, rng):
         name = str(getattr(keypath[-1], "key", ""))
         expected = 1.0 if name == "var" else 0.0
         np.testing.assert_array_equal(np.asarray(leaf), np.full(leaf.shape, expected))
+
+
+@pytest.mark.slow
+def test_export_params_from_ckpt_script(tmp_path, rng):
+    """The re-export script rebuilds best_params.npz (params + batch_stats)
+    from an orbax checkpoint without needing the model definition - the
+    rescue path for workdirs whose npz predates batch_stats bundling."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    cfg = TrainConfig(num_epochs=1, steps_per_epoch=10)
+    _, state, step, batch = _mk_state_and_step(rng, cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    workdir = tmp_path / "wd"
+    mgr = CheckpointManager(workdir / "ckpt")
+    mgr.save(1, state, CheckpointMeta(epoch=1, best_val_loss=0.5))
+    mgr.wait()
+    mgr.close()
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "export_params_from_ckpt.py"),
+         "--workdir", str(workdir)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    data = np.load(workdir / "best_params.npz")
+    assert any(k.startswith("batch_stats/") for k in data.keys())
+    # Spot-check one param leaf round-trips exactly.
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath)
+        flat[name] = np.asarray(leaf)
+    some = sorted(flat)[0]
+    np.testing.assert_array_equal(data[some], flat[some])
