@@ -956,6 +956,13 @@ def _cmd_eval(args) -> int:
             rg, tg, _, ag = pose_errors(pred_hm, gt_ang, batch)
             pose_rots_gt.extend(rg); pose_trans_gt.extend(tg); pnp_adds_gt.extend(ag)
         n += int(n_valid)
+    def _auc10(vals, max_m=0.10, n_steps=50):
+        """AUC of the pass-rate curve over [0, max_m] (DREAM's headline)."""
+        v = np.asarray(vals)
+        ths = np.linspace(0.0, max_m, n_steps)
+        pass_rate = (v[None, :] <= ths[:, None]).mean(axis=1)
+        return float(np.trapezoid(pass_rate, ths) / max_m)
+
     if n == 0:
         raise SystemExit(
             "eval: every sample had weight 0 - no image loaded at the expected "
@@ -988,6 +995,7 @@ def _cmd_eval(args) -> int:
             # the number DREAM-family papers headline.
             report["pnp_add_m"] = float(np.mean(pnp_adds))
             report["pnp_add_pass@10cm"] = float(np.mean(np.asarray(pnp_adds) <= 0.10))
+            report["pnp_add_auc@10cm"] = _auc10(pnp_adds)
         if pose_rots_gt:
             report["pose_rot_err_deg_gt_angles"] = float(np.mean(pose_rots_gt))
             report["pose_trans_err_m_gt_angles"] = float(np.mean(pose_trans_gt))
@@ -996,6 +1004,7 @@ def _cmd_eval(args) -> int:
             report["pnp_add_pass@10cm_gt_angles"] = float(
                 np.mean(np.asarray(pnp_adds_gt) <= 0.10)
             )
+            report["pnp_add_auc@10cm_gt_angles"] = _auc10(pnp_adds_gt)
     print(json.dumps(report))
     return 0
 
