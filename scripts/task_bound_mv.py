@@ -36,6 +36,9 @@ import numpy as np
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--views", type=int, default=4)
+    p.add_argument("--robot", default="fr5",
+                   help="registry name; the bound uses the robot's keypoint "
+                        "set (e.g. dream_panda's 7 named links) and angle unit")
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--hidden", type=int, default=256)
@@ -70,7 +73,11 @@ def main() -> None:
         triangulate_keypoints,
     )
 
-    robot = get_robot("fr5")
+    robot = get_robot(args.robot)
+    # Angle sampling range: +-0.6 * quarter-turn in the robot's native unit
+    # (matches the synthetic harness / make_dream_synthetic angle_scale 0.6).
+    half = 0.6 * (90.0 if robot.angle_unit == "deg" else np.pi / 2.0)
+    to_deg = 1.0 if robot.angle_unit == "deg" else 180.0 / np.pi
     V = args.views
     S = args.image_size
     hm = S // 2
@@ -82,9 +89,11 @@ def main() -> None:
         """angles + the three exact featurizations, all on device."""
         k_ang, k_noise = jax.random.split(key)
         angles = jax.random.uniform(
-            k_ang, (n, robot.n_joints), minval=-0.6 * 90.0, maxval=0.6 * 90.0
+            k_ang, (n, robot.n_joints), minval=-half, maxval=half
         ).astype(jnp.float32)
-        kp3d = jax.vmap(lambda a: forward_kinematics(robot, a))(angles)  # (B, J, 3)
+        kp3d = jax.vmap(
+            lambda a: robot.keypoints_from_fk(forward_kinematics(robot, a))
+        )(angles)  # (B, J, 3)
 
         def proj_view(rv, tv):
             return jax.vmap(lambda pts: project_points(pts, rv, tv, K, None))(kp3d)
@@ -139,7 +148,7 @@ def main() -> None:
             params, opt, l = step(params, opt, fts[variant], ang)
         ang_te, fts_te = features_j(jax.random.PRNGKey(999_999), 2048)  # held out
         pred = model.apply(params, fts_te[variant])
-        mae = np.asarray(jnp.mean(jnp.abs(pred - ang_te), axis=0))
+        mae = np.asarray(jnp.mean(jnp.abs(pred - ang_te), axis=0)) * to_deg
         results[variant] = {
             "per_joint_mae_deg": mae.round(2).tolist(),
             "mae_deg": float(mae.mean().round(3)),
@@ -150,6 +159,7 @@ def main() -> None:
     results.update(
         views=V, steps=args.steps, batch=args.batch, hidden=args.hidden,
         depth=args.depth, image_size=S, backend=jax.default_backend(),
+        robot=robot.name,
     )
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(results, indent=2))
