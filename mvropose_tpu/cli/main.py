@@ -451,10 +451,20 @@ def _load_variables_checked(params_path, variables, angle_head: str):
         params_path, variables["params"], angle_head
     )
     if "batch_stats" in variables:
-        variables["batch_stats"], complete = load_batch_stats_npz(
+        variables["batch_stats"], n_loaded, n_total = load_batch_stats_npz(
             params_path, variables["batch_stats"]
         )
-        if not complete:
+        if 0 < n_loaded < n_total:
+            # A partial match means the file was exported from a different
+            # architecture whose param shapes happened to coincide - the
+            # unmatched BN modules would silently run with init stats.
+            raise SystemExit(
+                f"{params_path}: batch_stats only partially match the model "
+                f"({n_loaded}/{n_total} leaves) - the file was exported from "
+                "a different architecture. Check --patch-size/--angle-head/"
+                "model_config.json against the training run."
+            )
+        if n_loaded == 0:
             print(
                 f"WARNING: {params_path} has no batch_stats (saved before they "
                 "were bundled); BatchNorm runs with init running stats - "
@@ -806,15 +816,23 @@ def _cmd_eval(args) -> int:
     pose_gt_by_alignment = not multi_view and getattr(ds, "has_kp3d", False)
     if hasattr(ds, "with_extrinsics") and (rig_has_extrinsics or pose_gt_by_alignment):
         ds.with_extrinsics = True
-    from mvropose_tpu.pose import recover_pose_batch
+    from mvropose_tpu.decode import decode_keypoints
+    from mvropose_tpu.pose import solve_rig_pnp
     from mvropose_tpu.train.metrics import pose_rotation_err_deg, pose_translation_err_m
 
-    def pose_errors(pred_hm, pred_ang, batch):
-        """Per-valid-view recovered-pose errors; lists of floats + successes."""
+    def pose_errors(pred_hm, angle_variants, batch):
+        """Recovered-pose errors per angle variant from ONE decode pass.
+
+        Returns one (rot_errs, trans_errs, successes, adds) tuple per entry
+        of `angle_variants`. rot/trans are conditional on PnP success (they
+        are undefined for a failed solve; pose_success_rate is reported
+        alongside). `adds` covers EVERY valid view: PnP failures enter as
+        inf so the pass@10cm / AUC protocol numbers count them as failed
+        frames (the DREAM papers score all frames, not just converged ones).
+        """
         if "rvec" not in batch or not (rig_has_extrinsics or pose_gt_by_alignment):
-            return [], [], [], []
+            return [([], [], [], []) for _ in angle_variants]
         hm = pred_hm if multi_view else pred_hm[:, None]
-        ang = pred_ang
         rv = np.asarray(batch["rvec"], np.float32)
         tv = np.asarray(batch["tvec"], np.float32)
         Kb = np.asarray(batch["K"], np.float32)
@@ -822,39 +840,56 @@ def _cmd_eval(args) -> int:
         if not multi_view:  # (B, ...) -> (B, 1, ...) single-view pseudo-rig
             rv, tv, Kb, base = rv[:, None], tv[:, None], Kb[:, None], base[:, None]
         B, V = hm.shape[0], hm.shape[1]
-        out = jax.vmap(
-            lambda hm_s, ang_s, base_s, K_s, k: recover_pose_batch(
-                hm_s, ang_s, base_s, K_s, rig.robot, tuple(args.image_hw),
-                key=k, decode_mode="refine",
-            )
-        )(hm, ang, jnp.asarray(base), jnp.asarray(Kb),
-          jax.random.split(jax.random.PRNGKey(13), B))
-        rot = np.asarray(pose_rotation_err_deg(out["rvec"], jnp.asarray(rv)))
-        trans = np.asarray(pose_translation_err_m(out["tvec"], jnp.asarray(tv)))
-        succ = np.asarray(out["success"])
+        xy, conf = jax.vmap(
+            lambda h: decode_keypoints(h, image_hw=tuple(args.image_hw), mode="refine")
+        )(hm)
         vm = (
             np.asarray(batch["view_mask"], bool)
             if multi_view else np.asarray(batch["sample_weight"]) > 0
         ).reshape(B, V)
-        ok = vm & succ
-        # DREAM-protocol ADD: FK(pred angles) mapped through the PnP-
-        # recovered pose vs the stored camera-frame GT points.
-        adds = []
-        if "keypoints_3d_cam" in batch:
-            from mvropose_tpu.geometry.rotations import rodrigues_to_matrix
+        base_j, K_j = jnp.asarray(base), jnp.asarray(Kb)
+        keys = jax.random.split(jax.random.PRNGKey(13), B)
+        results = []
+        for ang in angle_variants:
+            out = jax.vmap(
+                lambda xy_s, c_s, ang_s, base_s, K_s, k: solve_rig_pnp(
+                    xy_s, c_s, ang_s, base_s, K_s, rig.robot, key=k
+                )
+            )(xy, conf, ang, base_j, K_j, keys)
+            rot = np.asarray(pose_rotation_err_deg(out["rvec"], jnp.asarray(rv)))
+            trans = np.asarray(pose_translation_err_m(out["tvec"], jnp.asarray(tv)))
+            succ = np.asarray(out["success"])
+            ok = vm & succ
+            # DREAM-protocol ADD: FK(angles) mapped through the PnP-recovered
+            # pose vs the stored camera-frame GT points.
+            adds = []
+            if "keypoints_3d_cam" in batch:
+                from mvropose_tpu.geometry.rotations import rodrigues_to_matrix
 
-            fk_kp = rig.robot.keypoints_from_fk(
-                forward_kinematics_batch(rig.robot, ang)
-            )  # (B, J, 3) base frame (identity base for kp3d datasets)
-            Rp = jax.vmap(jax.vmap(rodrigues_to_matrix))(out["rvec"])  # (B,V,3,3)
-            pts_cam = (
-                jnp.einsum("bvij,bkj->bvki", Rp, fk_kp) + out["tvec"][:, :, None, :]
-            )  # (B, V, J, 3)
-            d = jnp.linalg.norm(
-                pts_cam - jnp.asarray(batch["keypoints_3d_cam"])[:, None], axis=-1
+                fk_kp = rig.robot.keypoints_from_fk(
+                    forward_kinematics_batch(rig.robot, ang)
+                )  # (B, J, 3) robot base frame
+                # Per-view base rotation first: solve_rig_pnp's object points
+                # are base-rotated FK, so the recovered pose maps THAT frame
+                # into the camera - the ADD transform must match (identity
+                # for dream_panda, but load-bearing for any kp3d dataset with
+                # per-view base corrections).
+                fk_obj = jnp.einsum("bvij,bkj->bvki", base_j, jnp.asarray(fk_kp))
+                Rp = jax.vmap(jax.vmap(rodrigues_to_matrix))(out["rvec"])  # (B,V,3,3)
+                pts_cam = (
+                    jnp.einsum("bvij,bvkj->bvki", Rp, fk_obj)
+                    + out["tvec"][:, :, None, :]
+                )  # (B, V, J, 3)
+                d = jnp.linalg.norm(
+                    pts_cam - jnp.asarray(batch["keypoints_3d_cam"])[:, None], axis=-1
+                )
+                d_mean = np.asarray(jnp.mean(d, axis=-1))  # (B, V)
+                adds = list(np.where(succ, d_mean, np.inf)[vm])
+            results.append(
+                (list(rot[ok]), list(trans[ok]),
+                 list(succ[vm].astype(np.float32)), adds)
             )
-            adds = list(np.asarray(jnp.mean(d, axis=-1))[ok])
-        return list(rot[ok]), list(trans[ok]), list(succ[vm].astype(np.float32)), adds
+        return results
 
     # Weighted accumulators: (sum, weight) per metric, so short final batches
     # contribute by their actual sample count instead of skewing a
@@ -941,27 +976,32 @@ def _cmd_eval(args) -> int:
             from mvropose_tpu.geometry.rotations import kabsch, matrix_to_rodrigues
 
             fk_kp_gt = rig.robot.keypoints_from_fk(fk_gt)  # (B, J, 3)
+            # Align the same object points PnP solves against (base-rotated
+            # FK) so the GT pose lives in the same frame as the recovered
+            # one; identity for dream_panda but exact in general.
+            fk_kp_gt = jnp.einsum(
+                "bij,bkj->bki",
+                jnp.asarray(batch["base_rotation"], jnp.float32), fk_kp_gt,
+            )
             R_gt, t_gt = jax.vmap(kabsch)(fk_kp_gt, jnp.asarray(batch["keypoints_3d_cam"]))
             batch = dict(batch)
             batch["rvec"] = np.asarray(jax.vmap(matrix_to_rodrigues)(R_gt))
             batch["tvec"] = np.asarray(t_gt)
-        r, t, s, a = pose_errors(pred_hm, pred_ang, batch)
+        # Variant 2 (DREAM's deployment regime): joint states are MEASURED
+        # (the robot reports them), only the camera pose is unknown - PnP
+        # with GT-angle FK object points is the protocol number, and is also
+        # the decode+PnP floor of the pred-angle variant. Both variants share
+        # one heatmap decode inside pose_errors.
+        variants = [pred_ang] + ([gt_ang] if pose_gt_by_alignment else [])
+        res = pose_errors(pred_hm, variants, batch)
+        r, t, s, a = res[0]
         pose_rots.extend(r); pose_trans.extend(t); pose_succ.extend(s)
         pnp_adds.extend(a)
         if pose_gt_by_alignment:
-            # DREAM's deployment regime: joint states are MEASURED (the robot
-            # reports them), only the camera pose is unknown - PnP with
-            # GT-angle FK object points is the protocol number, and is also
-            # the decode+PnP floor of the pred-angle variant above.
-            rg, tg, _, ag = pose_errors(pred_hm, gt_ang, batch)
+            rg, tg, _, ag = res[1]
             pose_rots_gt.extend(rg); pose_trans_gt.extend(tg); pnp_adds_gt.extend(ag)
         n += int(n_valid)
-    def _auc10(vals, max_m=0.10, n_steps=50):
-        """AUC of the pass-rate curve over [0, max_m] (DREAM's headline)."""
-        v = np.asarray(vals)
-        ths = np.linspace(0.0, max_m, n_steps)
-        pass_rate = (v[None, :] <= ths[:, None]).mean(axis=1)
-        return float(np.trapezoid(pass_rate, ths) / max_m)
+    from mvropose_tpu.train.metrics import pass_rate_auc
 
     if n == 0:
         raise SystemExit(
@@ -989,22 +1029,25 @@ def _cmd_eval(args) -> int:
         if pose_rots:
             report["pose_rot_err_deg"] = float(np.mean(pose_rots))
             report["pose_trans_err_m"] = float(np.mean(pose_trans))
+        def _pnp_add_report(adds, suffix=""):
+            # DREAM-protocol ADD over ALL frames: PnP failures sit in `adds`
+            # as inf, so pass@10cm / AUC score them as never-passing (the
+            # papers' protocol); the mean is over converged solves only (an
+            # inf mean carries no information) and is labeled as such.
+            v = np.asarray(adds)
+            finite = v[np.isfinite(v)]
+            if finite.size:
+                report[f"pnp_add_m_converged{suffix}"] = float(np.mean(finite))
+            report[f"pnp_add_pass@10cm{suffix}"] = float(np.mean(v <= 0.10))
+            report[f"pnp_add_auc@10cm{suffix}"] = float(pass_rate_auc(jnp.asarray(v)))
+
         if pnp_adds:
-            # DREAM-protocol ADD: FK(pred angles) through the PnP pose vs
-            # stored camera-frame GT keypoints; pass rate at 10 cm alongside,
-            # the number DREAM-family papers headline.
-            report["pnp_add_m"] = float(np.mean(pnp_adds))
-            report["pnp_add_pass@10cm"] = float(np.mean(np.asarray(pnp_adds) <= 0.10))
-            report["pnp_add_auc@10cm"] = _auc10(pnp_adds)
+            _pnp_add_report(pnp_adds)
         if pose_rots_gt:
             report["pose_rot_err_deg_gt_angles"] = float(np.mean(pose_rots_gt))
             report["pose_trans_err_m_gt_angles"] = float(np.mean(pose_trans_gt))
         if pnp_adds_gt:
-            report["pnp_add_m_gt_angles"] = float(np.mean(pnp_adds_gt))
-            report["pnp_add_pass@10cm_gt_angles"] = float(
-                np.mean(np.asarray(pnp_adds_gt) <= 0.10)
-            )
-            report["pnp_add_auc@10cm_gt_angles"] = _auc10(pnp_adds_gt)
+            _pnp_add_report(pnp_adds_gt, suffix="_gt_angles")
     print(json.dumps(report))
     return 0
 
@@ -1268,7 +1311,11 @@ def _cmd_serve(args) -> int:
         if args.recover_pose:
             links = robot.links
         else:
-            links = tuple((i, i + 1) for i in range(n_joints - 1))
+            # Chain links over the CHECKPOINT's keypoint count (cfg comes
+            # from model_config.json), not the default robot's: a 7-keypoint
+            # DREAM checkpoint would otherwise get an out-of-range (6,7)
+            # link silently dropped by the overlay's bounds guard.
+            links = tuple((i, i + 1) for i in range(cfg.num_joints - 1))
         names = [s.serial for s in sources]
         half = (len(names) + 1) // 2
         layout = (tuple(names[:half]),) if len(names) <= 2 else (

@@ -98,6 +98,45 @@ def recover_pose_single_view(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("robot", "n_hypotheses"))
+def solve_rig_pnp(
+    xy: jnp.ndarray,  # (V, J, 2) decoded keypoints, image px
+    conf: jnp.ndarray,  # (V, J) decode confidences
+    pred_angles: jnp.ndarray,  # (A,) shared robot state
+    base_rotations: jnp.ndarray,  # (V, 3, 3) per-view base corrections
+    Ks: jnp.ndarray,  # (V, 3, 3)
+    robot: RobotSpec,
+    confidence_threshold: float = DEFAULT_CONFIDENCE_THRESHOLD,
+    key: jax.Array | None = None,
+    n_hypotheses: int = 16,
+):
+    """Per-camera RANSAC PnP from already-decoded keypoints.
+
+    The decode-free core of `recover_pose_batch`, for callers that already
+    hold decoded keypoints (e.g. eval solving PnP twice per frame - once with
+    predicted angles, once with measured/GT angles - from one decode pass).
+    The recovered pose maps base-rotated FK points into the camera frame.
+    """
+    V = xy.shape[0]
+    weights = (conf >= confidence_threshold).astype(jnp.float32)  # (V, J)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, V)
+
+    def per_view(base, xy_v, w_v, K_v, k_v):
+        # Keypoint k pairs with FK origin keypoint_fk_indices[k] (DREAM's 7
+        # named links vs the 8-origin chain; identity for fr3/fr5/meca).
+        obj = robot.keypoints_from_fk(forward_kinematics(robot, pred_angles, base))
+        return solve_pnp_ransac(
+            obj, xy_v, K_v, weights=w_v, key=k_v, n_hypotheses=n_hypotheses
+        )
+
+    result = jax.vmap(per_view)(base_rotations, xy, weights, Ks, keys)
+    result["keypoints_xy"] = xy
+    result["confidence"] = conf
+    return result
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("robot", "image_hw", "n_hypotheses", "use_pallas", "decode_mode"),
@@ -130,27 +169,14 @@ def recover_pose_batch(
     test_pose_error_metrics_on_perfect_heatmaps: refine cuts recovered-pose
     error ~3x on exact heatmaps).
     """
-    V = heatmaps.shape[0]
     xy, conf = decode_keypoints(
         heatmaps, image_hw=image_hw, mode=decode_mode, use_pallas=use_pallas
     )
-    weights = (conf >= confidence_threshold).astype(jnp.float32)  # (V, J)
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, V)
-
-    def per_view(base, xy_v, w_v, K_v, k_v):
-        # Keypoint k pairs with FK origin keypoint_fk_indices[k] (DREAM's 7
-        # named links vs the 8-origin chain; identity for fr3/fr5/meca).
-        obj = robot.keypoints_from_fk(forward_kinematics(robot, pred_angles, base))
-        return solve_pnp_ransac(
-            obj, xy_v, K_v, weights=w_v, key=k_v, n_hypotheses=n_hypotheses
-        )
-
-    result = jax.vmap(per_view)(base_rotations, xy, weights, Ks, keys)
-    result["keypoints_xy"] = xy
-    result["confidence"] = conf
-    return result
+    return solve_rig_pnp(
+        xy, conf, pred_angles, base_rotations, Ks, robot,
+        confidence_threshold=confidence_threshold, key=key,
+        n_hypotheses=n_hypotheses,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("image_hw",))
@@ -193,6 +219,7 @@ def reprojection_errors(
 
 __all__ = [
     "PoseResult",
+    "solve_rig_pnp",
     "recover_pose_batch",
     "recover_pose_single_view",
     "recover_pose_multiview",

@@ -125,16 +125,20 @@ def load_params_npz(path: str | Path, template: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def load_batch_stats_npz(path: str | Path, template: Any) -> tuple[Any, bool]:
+def load_batch_stats_npz(path: str | Path, template: Any) -> tuple[Any, int, int]:
     """Load the 'batch_stats/' collection from a save_params_npz file.
 
-    Returns (batch_stats, complete). For files written before batch_stats
-    were bundled, missing leaves take the flax BatchNorm INIT values (mean 0,
-    var 1) - never zeros, a zero running var makes every BN output explode -
-    and complete=False so callers can warn."""
+    Returns (batch_stats, n_loaded, n_total) over the template's leaves.
+    Missing leaves take the flax BatchNorm INIT values (mean 0, var 1) -
+    never zeros, a zero running var makes every BN output explode. Callers
+    distinguish n_loaded == 0 (legacy file saved before batch_stats were
+    bundled -> warn) from 0 < n_loaded < n_total (a partially-matching
+    bundle, i.e. the file belongs to a DIFFERENT architecture -> hard
+    error; silently resetting some BN modules degrades inference with no
+    visible symptom)."""
     data = np.load(path)
     leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
-    new_leaves, complete = [], True
+    new_leaves, n_loaded = [], 0
     for keypath, leaf in leaves_paths:
         name = "batch_stats/" + "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
@@ -143,9 +147,10 @@ def load_batch_stats_npz(path: str | Path, template: Any) -> tuple[Any, bool]:
             arr = data[name]
             assert arr.shape == tuple(leaf.shape), f"{name}: {arr.shape} vs {leaf.shape}"
             new_leaves.append(arr.astype(leaf.dtype))
+            n_loaded += 1
         else:
-            complete = False
             leaf_name = str(getattr(keypath[-1], "key", ""))
             init = np.ones if leaf_name == "var" else np.zeros
             new_leaves.append(init(tuple(leaf.shape), leaf.dtype))
-    return jax.tree_util.tree_unflatten(treedef, new_leaves), complete
+    tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return tree, n_loaded, len(leaves_paths)

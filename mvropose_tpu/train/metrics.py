@@ -39,6 +39,31 @@ def add_metric(
     return jnp.sum(d * w) / (jnp.sum(w) + 1e-8)
 
 
+def pass_rate_auc(
+    dists: jnp.ndarray,  # (...,) per-sample distances (m); inf = failed frame
+    max_threshold_m: float = 0.10,
+    n_steps: int = 50,
+    valid: jnp.ndarray | None = None,  # (...,) per-sample weights
+) -> jnp.ndarray:
+    """AUC of the pass-rate curve over [0, max_threshold] (DREAM's headline).
+
+    The single definition shared by `add_auc` (FK-space ADD) and the eval
+    CLI's PnP-ADD variant so the two curves can't desynchronize. Frames where
+    the measurement failed (e.g. PnP did not converge) must be passed as
+    `inf` so they count against the rate at every threshold - the DREAM
+    papers' all-frames protocol.
+    """
+    per_sample = jnp.asarray(dists, jnp.float32).reshape(-1)
+    ths = jnp.linspace(0.0, max_threshold_m, n_steps)
+    passed = (per_sample[None, :] <= ths[:, None]).astype(jnp.float32)
+    if valid is None:
+        pass_rate = jnp.mean(passed, axis=1)
+    else:
+        w = valid.astype(jnp.float32).reshape(-1)
+        pass_rate = jnp.sum(passed * w[None, :], axis=1) / (jnp.sum(w) + 1e-8)
+    return jnp.trapezoid(pass_rate, ths) / max_threshold_m
+
+
 def add_auc(
     pred_pts3d: jnp.ndarray,
     gt_pts3d: jnp.ndarray,
@@ -48,15 +73,8 @@ def add_auc(
 ) -> jnp.ndarray:
     """Area under the ADD pass-rate curve up to max_threshold (DREAM-style)."""
     d = jnp.linalg.norm(pred_pts3d - gt_pts3d, axis=-1)  # (..., J)
-    per_sample = jnp.mean(d, axis=-1).reshape(-1)  # mean ADD per sample
-    ths = jnp.linspace(0.0, max_threshold_m, n_steps)
-    passed = (per_sample[None, :] <= ths[:, None]).astype(jnp.float32)
-    if valid is None:
-        pass_rate = jnp.mean(passed, axis=1)
-    else:
-        w = valid.astype(jnp.float32).reshape(-1)
-        pass_rate = jnp.sum(passed * w[None, :], axis=1) / (jnp.sum(w) + 1e-8)
-    return jnp.trapezoid(pass_rate, ths) / max_threshold_m
+    per_sample = jnp.mean(d, axis=-1)  # mean ADD per sample
+    return pass_rate_auc(per_sample, max_threshold_m, n_steps, valid=valid)
 
 
 def angle_mae(

@@ -152,8 +152,8 @@ def test_batch_stats_npz_roundtrip(tmp_path, rng):
     save_params_npz(path, state.params, batch_stats=state.batch_stats)
 
     template = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), state.batch_stats)
-    loaded, complete = load_batch_stats_npz(path, template)
-    assert complete
+    loaded, n_loaded, n_total = load_batch_stats_npz(path, template)
+    assert n_loaded == n_total
     for a, b in zip(
         jax.tree_util.tree_leaves(state.batch_stats), jax.tree_util.tree_leaves(loaded)
     ):
@@ -162,7 +162,7 @@ def test_batch_stats_npz_roundtrip(tmp_path, rng):
 
 def test_batch_stats_npz_legacy_fallback(tmp_path, rng):
     """Files saved before batch_stats were bundled load with the flax BN
-    INIT values (mean 0 / var ONE - never zero var) and complete=False."""
+    INIT values (mean 0 / var ONE - never zero var) and n_loaded=0."""
     from mvropose_tpu.train.checkpoint import load_batch_stats_npz
 
     cfg = TrainConfig()
@@ -171,8 +171,8 @@ def test_batch_stats_npz_legacy_fallback(tmp_path, rng):
     save_params_npz(path, state.params)  # params only, old format
 
     template = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), state.batch_stats)
-    loaded, complete = load_batch_stats_npz(path, template)
-    assert not complete
+    loaded, n_loaded, n_total = load_batch_stats_npz(path, template)
+    assert n_loaded == 0 and n_total > 0
     flat = jax.tree_util.tree_flatten_with_path(loaded)[0]
     assert flat, "model has no batch_stats - test needs a BN-carrying model"
     for keypath, leaf in flat:

@@ -179,6 +179,61 @@ def test_angle_metrics_ignore_weight0_samples():
     assert float(add_auc(pred3, gt3)) < 0.7  # unweighted drags the curve down
 
 
+def test_pass_rate_auc_counts_failed_frames():
+    """The DREAM protocol scores ALL frames: a PnP failure enters the
+    pass-rate curve as inf (never passes), it does not drop out. The bug:
+    eval filtered PnP-ADD by success before pass@10cm/AUC, so the headline
+    was conditional on convergence and overstated whenever success < 1
+    (committed instance: occlusion probe, success 0.763, conditional pass
+    0.42 vs the all-frames ~0.32)."""
+    from mvropose_tpu.train.metrics import add_auc, pass_rate_auc
+
+    exact = jnp.zeros(4)
+    assert float(pass_rate_auc(exact)) > 0.99
+    # One failed frame out of four caps the curve at 0.75 everywhere.
+    one_fail = jnp.array([0.0, 0.0, 0.0, jnp.inf])
+    auc = float(pass_rate_auc(one_fail))
+    assert 0.70 < auc <= 0.7501
+    # Shared definition: add_auc on per-sample distances == pass_rate_auc.
+    d = jnp.array([0.0, 0.05, 0.2])
+    pred3 = jnp.zeros((3, 2, 3)).at[:, :, 0].set(d[:, None])
+    gt3 = jnp.zeros((3, 2, 3))
+    np.testing.assert_allclose(
+        float(add_auc(pred3, gt3)), float(pass_rate_auc(d)), rtol=1e-6
+    )
+
+
+def test_solve_rig_pnp_matches_recover_pose_batch():
+    """solve_rig_pnp (decode-free core, used by eval to solve PnP twice per
+    frame from one decode) must agree exactly with recover_pose_batch's
+    decode+solve on the same heatmaps."""
+    from mvropose_tpu.decode import decode_keypoints
+    from mvropose_tpu.geometry.camera import project_points
+    from mvropose_tpu.geometry.heatmap import render_heatmaps
+    from mvropose_tpu.geometry.robots import MECA500, forward_kinematics
+    from mvropose_tpu.pose import recover_pose_batch, solve_rig_pnp
+
+    hw = (120, 160)
+    angles = jnp.array([10.0, -20.0, 30.0, 5.0, -15.0, 25.0])
+    base = jnp.eye(3)[None]
+    K = jnp.array([[[150.0, 0, 80.0], [0, 150.0, 60.0], [0, 0, 1.0]]])
+    pts = MECA500.keypoints_from_fk(forward_kinematics(MECA500, angles))
+    rvec, tvec = jnp.array([0.2, -0.1, 0.05]), jnp.array([0.05, -0.02, 0.6])
+    xy_img = project_points(pts, rvec, tvec, K[0], None)
+    hm_xy = xy_img * jnp.array([64.0 / hw[1], 64.0 / hw[0]])
+    hm = render_heatmaps(hm_xy[None], 64, 64, sigma=2.0) * 8.0 - 4.0
+
+    key = jax.random.PRNGKey(3)
+    ref = recover_pose_batch(
+        hm, angles, base, K, MECA500, hw, key=key, decode_mode="refine"
+    )
+    xy, conf = decode_keypoints(hm, image_hw=hw, mode="refine")
+    out = solve_rig_pnp(xy, conf, angles, base, K, MECA500, key=key)
+    for k in ("rvec", "tvec", "success", "n_inliers"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]))
+    assert bool(out["success"][0])
+
+
 @pytest.mark.slow
 def test_fk_consistency_loss_trains(rng):
     """FK-consistency: projected FK(pred angles) pulled toward GT 2D points.
