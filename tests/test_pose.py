@@ -337,3 +337,56 @@ def test_kabsch_gt_pose_matches_pnp_frame():
     ang_err = np.degrees(np.arccos(np.clip((np.trace(R_pnp @ R_gt.T) - 1) / 2, -1, 1)))
     assert ang_err < 8.0, ang_err
     assert np.linalg.norm(res.tvec - np.asarray(t_hat)) < 0.15
+
+
+def test_pnp_add_frame_with_nonidentity_base_rotation():
+    """Eval's PnP-ADD transform and Kabsch GT must use the SAME object
+    points PnP solves against: base-rotated FK. With a non-identity
+    per-view base rotation (e.g. FR3's zyx 90/180/0), transforming
+    UN-rotated FK through the recovered pose reports a large constant
+    frame-mismatch 'error' on perfect data; base-rotated FK reports ~0.
+    Pins cli eval's pose_errors/Kabsch frame handling for any future
+    kp3d-carrying dataset with base corrections (dream_panda's is
+    identity, so the CLI path alone cannot catch this)."""
+    from mvropose_tpu.decode import decode_keypoints
+    from mvropose_tpu.geometry.rotations import kabsch
+    from mvropose_tpu.pose import solve_rig_pnp
+
+    base = np.asarray(FR3.base_rotation("view1"), np.float32)  # non-identity
+    assert not np.allclose(base, np.eye(3), atol=1e-6)
+    angles = jnp.asarray([0.3, -0.4, 0.25, -1.2, 0.5, 1.1, -0.3], jnp.float32)
+    fk_kp = np.asarray(forward_kinematics(FR3, angles))  # (8, 3) base frame
+    fk_obj = fk_kp @ base.T  # the object points PnP solves against
+
+    rvec = jnp.asarray([0.15, -0.2, 0.1], jnp.float32)
+    tvec = jnp.asarray([0.02, -0.05, 1.4], jnp.float32)
+    R_cam = np.asarray(rodrigues_to_matrix(rvec))
+    loc_cam = fk_obj @ R_cam.T + np.asarray(tvec)  # camera-frame GT points
+
+    # Perfect heatmaps rendered from the projections of the SAME chain.
+    px = np.asarray(
+        project_points(jnp.asarray(fk_obj), rvec, tvec, jnp.asarray(K, jnp.float32), None)
+    )
+    kp_hm = px * np.array([HM / IMG_HW[1], HM / IMG_HW[0]])
+    maps = render_heatmaps(jnp.asarray(kp_hm, jnp.float32), HM, HM, sigma=2.0) * 6.0 - 3.0
+
+    xy, conf = decode_keypoints(maps[None], image_hw=IMG_HW, mode="refine")
+    out = solve_rig_pnp(
+        xy, conf, angles, jnp.asarray(base)[None], jnp.asarray(K, jnp.float32)[None],
+        FR3, key=jax.random.PRNGKey(5),
+    )
+    assert bool(out["success"][0])
+    Rp = np.asarray(rodrigues_to_matrix(out["rvec"][0]))
+    tp = np.asarray(out["tvec"][0])
+
+    add_rotated = np.linalg.norm(fk_obj @ Rp.T + tp - loc_cam, axis=-1).mean()
+    add_unrotated = np.linalg.norm(fk_kp @ Rp.T + tp - loc_cam, axis=-1).mean()
+    assert add_rotated < 0.02, add_rotated  # decode-noise floor
+    assert add_unrotated > 0.2, add_unrotated  # frame mismatch, the old bug
+
+    # Kabsch GT on base-rotated FK lands in the recovered pose's frame.
+    R_gt, t_gt = kabsch(jnp.asarray(fk_obj), jnp.asarray(loc_cam))
+    ang = np.degrees(np.arccos(np.clip(
+        (np.trace(Rp @ np.asarray(R_gt).T) - 1) / 2, -1, 1)))
+    assert ang < 3.0, ang
+    assert np.linalg.norm(tp - np.asarray(t_gt)) < 0.05
