@@ -775,10 +775,17 @@ def _cmd_eval(args) -> int:
             must be rotated into that frame before comparing. All views of a
             rig share the base rotation (FR3: zyx 90/180/0 for every view),
             so the first valid view's matrix is used per sample.
+
+            The ADD mean is conditional on observability (a keypoint needs
+            >= 2 confident views to triangulate at all), so each sample also
+            reports its observable fraction - the coverage the conditional
+            mean silently assumes; triangulated_obs_rate surfaces it.
             """
             B = pred_hm.shape[0]
-            vals = []
+            vals, obs_fracs = [], []
             for b in range(B):
+                if batch["sample_weight"][b] == 0:
+                    continue
                 pts3d, obs = recover_pose_multiview(
                     pred_hm[b],
                     jnp.asarray(batch["view_mask"][b]),
@@ -788,14 +795,15 @@ def _cmd_eval(args) -> int:
                     tuple(args.image_hw),
                 )
                 obs_np = np.asarray(obs)
-                if obs_np.sum() < 1 or batch["sample_weight"][b] == 0:
+                obs_fracs.append(float(obs_np.mean()))
+                if obs_np.sum() < 1:
                     continue
                 v0 = int(np.argmax(np.asarray(batch["view_mask"][b])))
                 base = np.asarray(batch["base_rotation"][b, v0])  # (3, 3)
                 gt_world = np.asarray(fk_gt[b]) @ base.T  # rows: base @ p
                 d = np.linalg.norm(np.asarray(pts3d) - gt_world, axis=-1)
                 vals.append(float(np.mean(d[obs_np > 0])))
-            return vals
+            return vals, obs_fracs
     else:
         apply_fn = jax.jit(lambda im: model.apply(variables, im))
         tri_add = None
@@ -901,7 +909,7 @@ def _cmd_eval(args) -> int:
             acc[key][0] += float(value) * weight
             acc[key][1] += weight
 
-    tri_adds, pose_rots, pose_trans, pose_succ, pnp_adds, n = [], [], [], [], [], 0
+    tri_adds, tri_obs, pose_rots, pose_trans, pose_succ, pnp_adds, n = [], [], [], [], [], [], 0
     pose_rots_gt, pose_trans_gt, pnp_adds_gt = [], [], []
     per_joint_sum = None
     img_h, img_w = args.image_hw
@@ -967,7 +975,8 @@ def _cmd_eval(args) -> int:
         bump("add", add_metric(fk_pred, fk_gt, valid=samp_w[:, None]), n_samp)
         bump("auc", add_auc(fk_pred, fk_gt, valid=samp_w), n_samp)
         if tri_add is not None:
-            tri_adds.extend(tri_add(pred_hm, batch, np.asarray(fk_gt)))
+            ta, to = tri_add(pred_hm, batch, np.asarray(fk_gt))
+            tri_adds.extend(ta); tri_obs.extend(to)
         if pose_gt_by_alignment and "keypoints_3d_cam" in batch:
             # Per-sample GT camera pose by rigid alignment of the GT-angle
             # FK skeleton to the stored camera-frame points (exact when the
@@ -1024,6 +1033,9 @@ def _cmd_eval(args) -> int:
     }
     if tri_adds:
         report["triangulated_add_m"] = float(np.mean(tri_adds))
+        # Coverage of the conditional mean above: fraction of keypoints with
+        # >= 2 confident views, averaged over valid samples.
+        report["triangulated_obs_rate"] = float(np.mean(tri_obs))
     if pose_succ:
         report["pose_success_rate"] = float(np.mean(pose_succ))
         if pose_rots:

@@ -243,15 +243,25 @@ def test_cli_fr3_multiview_train(tmp_path):
     rec = json.loads(metrics[-1])
     assert np.isfinite(rec["val_loss"])
 
-    # --- multi-view eval incl. triangulated ADD ---
-    rc = main([
-        "eval", "--robot", "fr3", "--csv", str(csv),
-        "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
-        "--params", str(workdir / "best_params.npz"), "--image-hw", "60", "80",
-        "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
-        "--batch-size", "2", "--tolerance", "0.05",
-    ])
+    # --- multi-view eval incl. triangulated ADD + its coverage rate ---
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "eval", "--robot", "fr3", "--csv", str(csv),
+            "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+            "--params", str(workdir / "best_params.npz"), "--image-hw", "60", "80",
+            "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+            "--batch-size", "2", "--tolerance", "0.05",
+        ])
     assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    if "triangulated_add_m" in report:
+        # The conditional mean must carry its coverage (fraction of
+        # keypoints with >= 2 confident views).
+        assert 0.0 <= report["triangulated_obs_rate"] <= 1.0
 
     # --- FR3 multi-view GT group panels (reference
     # visualize_samples_by_group_size) ---
