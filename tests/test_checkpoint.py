@@ -215,3 +215,38 @@ def test_export_params_from_ckpt_script(tmp_path, rng):
         flat[name] = np.asarray(leaf)
     some = sorted(flat)[0]
     np.testing.assert_array_equal(data[some], flat[some])
+
+
+def test_partial_batch_stats_bundle_is_hard_error(tmp_path, rng):
+    """A batch_stats bundle that only PARTIALLY matches the model means the
+    file came from a different architecture whose param shapes happened to
+    coincide; silently resetting the unmatched BN modules to init stats
+    degrades inference with no symptom, so eval/serve must refuse loudly
+    (legacy files with NO batch_stats still load with a warning)."""
+    from mvropose_tpu.cli.main import _load_variables_checked
+
+    cfg = TrainConfig()
+    model, state, step, batch = _mk_state_and_step(rng, cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    path = tmp_path / "best.npz"
+    save_params_npz(path, state.params, batch_stats=state.batch_stats)
+
+    # Drop one batch_stats leaf from the file -> partial bundle.
+    data = dict(np.load(path))
+    bs_keys = [k for k in data if k.startswith("batch_stats/")]
+    assert len(bs_keys) >= 2
+    del data[bs_keys[0]]
+    partial = tmp_path / "partial.npz"
+    np.savez(partial, **data)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    with pytest.raises(SystemExit, match="partially match"):
+        _load_variables_checked(str(partial), variables, angle_head="query")
+
+    # The complete file loads fine through the same path.
+    out = _load_variables_checked(str(path), variables, angle_head="query")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.batch_stats),
+        jax.tree_util.tree_leaves(out["batch_stats"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
