@@ -1137,12 +1137,20 @@ def _cmd_serve(args) -> int:
         )
     else:
         model = MultiViewPoseEstimator(cfg)
+        # geometric3d's DLT branch asserts proj_mats is present even under
+        # eval_shape - feed a zeros template (the real rig matrices bind
+        # below once --summary extrinsics are validated).
+        pm0 = (
+            jnp.zeros((1, args.views, 3, 4))
+            if cfg.angle_head == "geometric3d" else None
+        )
         shapes = jax.eval_shape(
             lambda k: model.init(
                 k,
                 jnp.zeros((1, args.views, model_size, model_size, 3)),
                 jnp.zeros((1, args.views), jnp.int32),
                 jnp.zeros((1, args.views), bool),
+                proj_mats=pm0,
             ),
             jax.random.PRNGKey(0),
         )

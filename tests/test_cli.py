@@ -824,3 +824,82 @@ def test_dream_synthetic_generator_end_to_end(tmp_path):
         "--batch-size", "2", "--epochs", "1", "--val-split", "0.5", "--no-augment",
     ])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_geometric3d_train_then_serve(tmp_path):
+    """geometric3d end to end through the CLI: multi-view FR3 training (the
+    triangulation branch consumes per-batch projection matrices), then serve
+    with --recover-pose, where the rig's heatmap projection matrices are
+    rebuilt from --summary extrinsics and fed to the model every tick
+    (cli serve's serve_pm wiring - previously only unit/dryrun-tested).
+    Also pins the guard: a geometric3d checkpoint without --summary must
+    refuse instead of silently serving garbage triangulations."""
+    import cv2
+
+    jdir = tmp_path / "joints"
+    jdir.mkdir()
+    docs = []
+    for i in range(6):
+        names = ", ".join(f"fr3_joint{j}" for j in range(1, 8))
+        pos = ", ".join(str(0.1 * j + 0.01 * i) for j in range(1, 8))
+        docs.append(
+            f"header:\n  stamp:\n    sec: {1000 + i}\n    nanosec: 0\n"
+            f"name: [{names}]\nposition: [{pos}]\n"
+        )
+    (jdir / "joint_states_0.yaml").write_text("---\n".join(docs))
+
+    img_dir = tmp_path / "pose1"
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        for serial in ("41182735", "49429257"):
+            p = img_dir / f"zed_{serial}_left_{1000 + i}.0.jpg"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(p), rng.integers(0, 255, size=(60, 80, 3)).astype(np.uint8))
+
+    csv = tmp_path / "fr3.csv"
+    assert main([
+        "sync", "fr3", "--base-dirs", str(img_dir), "--joint-dir", str(jdir),
+        "--out", str(csv), "--tolerance", "0.05",
+    ]) == 0
+
+    conf = tmp_path / "SN.conf"
+    conf.write_text(CONF_TEXT)
+    calib_dir = tmp_path / "calib"
+    for serial, view in (("41182735", "view1"), ("49429257", "view2")):
+        main(["calibrate", "intrinsics", "--conf", str(conf), "--serial", serial,
+              "--view", view, "--resolution", "FHD", "--out-dir", str(calib_dir)])
+    summary = tmp_path / "pose1_aruco_pose_summary.json"
+    for view in ("view1", "view2"):
+        for cam in ("leftcam", "rightcam"):
+            main(["calibrate", "manual", "--view", view, "--cam", cam,
+                  "--tvec", "0", "0", "1.2", "--rvec-deg", "3.14159", "0", "0",
+                  "--out", str(summary)])
+
+    workdir = tmp_path / "run_geo3d"
+    rc = main([
+        "train", "--robot", "fr3", "--csv", str(csv),
+        "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+        "--workdir", str(workdir), "--image-hw", "60", "80",
+        "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+        "--batch-size", "2", "--epochs", "1", "--val-split", "0.34",
+        "--tolerance", "0.05", "--no-augment", "--angle-head", "geometric3d",
+    ])
+    assert rc == 0
+
+    # Guard: geometric3d without the rig's extrinsics must refuse.
+    with pytest.raises(SystemExit, match="geometric3d"):
+        main([
+            "serve", "--views", "2", "--fps", "60", "--frame-hw", "60", "80",
+            "--duration", "1.0", "--params", str(workdir / "best_params.npz"),
+        ])
+
+    rc = main([
+        "serve", "--views", "2", "--fps", "60", "--frame-hw", "60", "80",
+        "--duration", "1.0", "--params", str(workdir / "best_params.npz"),
+        "--recover-pose", "--pose-robot", "fr3",
+        "--calib-dir", str(calib_dir),
+        "--camera-keys", "view1_leftcam,view2_leftcam",
+        "--summary", str(summary),
+    ])
+    assert rc == 0
