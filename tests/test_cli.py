@@ -887,6 +887,23 @@ def test_cli_geometric3d_train_then_serve(tmp_path):
     ])
     assert rc == 0
 
+    # Eval restores the geometric3d arch from model_config.json and feeds
+    # per-batch projection matrices to the DLT branch.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "eval", "--robot", "fr3", "--csv", str(csv),
+            "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+            "--params", str(workdir / "best_params.npz"), "--image-hw", "60", "80",
+            "--batch-size", "2", "--tolerance", "0.05",
+        ])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(report["angle_mae"])
+
     # Guard: geometric3d without the rig's extrinsics must refuse.
     with pytest.raises(SystemExit, match="geometric3d"):
         main([
