@@ -669,6 +669,25 @@ def test_cli_train_with_backbone_ckpt(tmp_path):
         checked += 1
     assert checked > 10
 
+    # The non-default architecture (register tokens, 96-native pos-embed
+    # grid run at 64) must evaluate WITHOUT re-specifying any arch flag:
+    # model_config.json restores it (the round-2 advisor finding: the DINO
+    # path was a dead end past training because eval hardcoded the arch).
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "eval", "--robot", "meca500", "--csv", str(csv),
+            "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+            "--params", str(workdir / "best_params.npz"),
+            "--image-hw", "60", "80", "--batch-size", "2",
+        ])
+    assert rc == 0
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(report["angle_mae"])
+
 
 def test_graft_backbone_ckpt_rejects_mismatch(tmp_path):
     """A checkpoint whose architecture disagrees with the flags must fail
