@@ -1382,20 +1382,37 @@ def _cmd_serve(args) -> int:
     pipe.start()
     try:
         print(f"active cameras: {len(pipe.active)}, failed: {len(pipe.failed)}")
-        # Warmup tick to compile.
+        if not pipe.active:
+            raise SystemExit("serve: every camera source failed to initialize")
+        # Warmup tick to compile - bounded: spinning forever here used to be
+        # the failure mode for a frame-size mismatch (sources deliver frames
+        # that tick() drops because they are not --frame-hw) or a rig whose
+        # cameras all died after init.
+        import time as _time
+
+        warmup_deadline = _time.perf_counter() + max(60.0, args.duration)
         while pipe.tick() is None:
-            pass
+            if _time.perf_counter() >= warmup_deadline:
+                raise SystemExit(
+                    "serve: no frame inferred within "
+                    f"{max(60.0, args.duration):.0f}s - "
+                    f"{pipe.stats.skipped_resolution} frames were dropped for "
+                    f"not matching --frame-hw {hw}; check the source "
+                    "resolution, or whether every camera stalled."
+                )
+            _time.sleep(0.0005)
         if quit_flag["q"]:
             stats = pipe.stats
         else:
-            import time as _time
-
             pipe.stats = type(pipe.stats)(
                 start_time_s=_time.perf_counter(), overlapped=pipe.fetch_fn is not None
             )
             end = _time.perf_counter() + args.duration
             while _time.perf_counter() < end and not quit_flag["q"]:
+                before = pipe.stats.ticks
                 pipe.tick()
+                if pipe.stats.ticks == before:
+                    _time.sleep(0.0005)  # no new frames: don't burn the core
             if pipe.fetch_fn is not None:
                 pipe.drain()
             stats = pipe.stats

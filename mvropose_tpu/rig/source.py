@@ -83,13 +83,31 @@ class _MailboxSource:
             self._frame = frame
 
     def start(self) -> None:
-        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._stop.clear()  # restartable: a stop() must not poison the next start()
+        self._thread = threading.Thread(target=self._run_guarded, daemon=True)
         self._thread.start()
 
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5.0)
+
+    def _run_guarded(self) -> None:
+        """Worker wrapper: ANY uncaught exception marks the source failed.
+
+        Without this, a worker that dies (bad serial string, unreadable
+        replay file mid-run, SDK error outside the guarded open) leaves the
+        source neither ready nor failed - the pipeline then blocks its full
+        init timeout before misclassifying it, or keeps treating a dead
+        source as live with a stale mailbox frame."""
+        try:
+            self._run()
+        except Exception:  # noqa: BLE001 - the flag IS the error channel
+            import traceback
+
+            self._failed = True
+            self._ready = False
+            traceback.print_exc()
 
     def _run(self) -> None:  # pragma: no cover - overridden
         raise NotImplementedError
@@ -115,7 +133,7 @@ class FileReplaySource(_MailboxSource):
             self._failed = True
             return
         self._ready = True
-        period = 1.0 / self.fps
+        period = 1.0 / self.fps if self.fps > 0 else 0.0  # <=0: replay unthrottled
         i = 0
         while not self._stop.is_set():
             t0 = time.perf_counter()
@@ -142,7 +160,7 @@ class SyntheticSource(_MailboxSource):
         rng = np.random.default_rng(abs(hash(self.serial)) % (2**32))
         base = rng.integers(0, 255, size=(*self.hw, 3)).astype(np.uint8)
         self._ready = True
-        period = 1.0 / self.fps
+        period = 1.0 / self.fps if self.fps > 0 else 0.0
         while not self._stop.is_set():
             t0 = time.perf_counter()
             img = np.roll(base, self._seq % self.hw[0], axis=0)

@@ -25,9 +25,19 @@ from mvropose_tpu.rig.source import CameraSource, Frame
 @dataclasses.dataclass
 class StreamStats:
     ticks: int = 0
+    # NEW camera frames consumed (deduplicated by Frame.seq): a tick that
+    # re-infers a camera's unchanged latest frame does not count it again,
+    # so camera_fps reports what the cameras actually produced, not the
+    # tick rate times V (the loop legitimately re-infers stale frames -
+    # consumers want a pose every tick - but throughput must not claim them).
     frames_processed: int = 0
     total_step_time_s: float = 0.0
     start_time_s: float = 0.0
+    end_time_s: float | None = None  # set when run() exits; properties use it
+    # Frames dropped because their resolution did not match frame_hw - a
+    # persistent nonzero count means the rig is misconfigured (the serve CLI
+    # reports it instead of spinning silently).
+    skipped_resolution: int = 0
     # Double-buffered mode: host (gather+preprocess+dispatch) and fetch
     # (block-until-device-done) phases, accumulated separately so overlap is
     # measurable: with true overlap, total wall per tick approaches
@@ -37,14 +47,17 @@ class StreamStats:
     overlapped: bool = False
 
     @property
+    def _elapsed(self) -> float:
+        end = self.end_time_s if self.end_time_s is not None else time.perf_counter()
+        return end - self.start_time_s
+
+    @property
     def fps(self) -> float:
-        elapsed = time.perf_counter() - self.start_time_s
-        return self.ticks / elapsed if elapsed > 0 else 0.0
+        return self.ticks / self._elapsed if self._elapsed > 0 else 0.0
 
     @property
     def camera_fps(self) -> float:
-        elapsed = time.perf_counter() - self.start_time_s
-        return self.frames_processed / elapsed if elapsed > 0 else 0.0
+        return self.frames_processed / self._elapsed if self._elapsed > 0 else 0.0
 
 
 class StreamingPipeline:
@@ -88,6 +101,7 @@ class StreamingPipeline:
         self.max_skew_s = max_skew_s
         self.fetch_fn = fetch_fn
         self._pending = None  # (handle, frames) awaiting fetch
+        self._last_seq: dict[int, int] = {}  # per-source last consumed Frame.seq
         self.stats = StreamStats(overlapped=fetch_fn is not None)
         self.active: list[CameraSource] = []
         self.failed: list[CameraSource] = []
@@ -108,35 +122,54 @@ class StreamingPipeline:
             s.stop()
 
     def tick(self) -> Optional[object]:
-        """One gather + infer step. Returns infer_fn's result (or None if no
-        source had a frame)."""
+        """One gather + infer step. Returns infer_fn's result (double-
+        buffered mode: the PREVIOUS set's fetched result), or None if
+        nothing could be inferred and nothing was pending."""
+        if self.stats.start_time_s == 0.0:  # tick()-driven use without run()
+            self.stats.start_time_s = time.perf_counter()
         V = len(self.sources)
         H, W = self.frame_hw
-        images = np.zeros((V, H, W, 3), np.uint8)
+        # np.empty, not np.zeros: at 4x720p the batch is ~11 MB and zeroing
+        # it every tick at ~70 ticks/s is pure memset bandwidth; only the
+        # slots without a frame need zero-filling (the mask carries
+        # correctness, zeroed pixels keep masked slots deterministic).
+        images = np.empty((V, H, W, 3), np.uint8)
         mask = np.zeros((V,), bool)
         frames: list[Optional[Frame]] = [None] * V
         for i, s in enumerate(self.sources):
             f = s.latest()
-            if f is None or f.image.shape[:2] != (H, W):
+            if f is None:
+                images[i] = 0
+                continue
+            if f.image.shape[:2] != (H, W):
+                self.stats.skipped_resolution += 1
+                images[i] = 0
                 continue
             images[i] = f.image
             mask[i] = True
             frames[i] = f
         if not mask.any():
-            return None
+            # Nothing new to dispatch, but never withhold an already-computed
+            # set: the consumer most needs the last result exactly when the
+            # cameras stall.
+            return self.drain() if self._pending is not None else None
         if self.max_skew_s is not None:
             newest = max(f.timestamp for f in frames if f is not None)
             for i, f in enumerate(frames):
                 if f is not None and newest - f.timestamp > self.max_skew_s:
                     mask[i] = False
                     frames[i] = None
+                    images[i] = 0
             if not mask.any():
-                return None
+                return self.drain() if self._pending is not None else None
         t0 = time.perf_counter()
         out = self.infer_fn(images, mask)
         self.stats.total_step_time_s += time.perf_counter() - t0
         self.stats.ticks += 1
-        self.stats.frames_processed += int(mask.sum())
+        for i, f in enumerate(frames):
+            if f is not None and self._last_seq.get(i) != f.seq:
+                self._last_seq[i] = f.seq
+                self.stats.frames_processed += 1
         if self.fetch_fn is None:
             if self.on_result is not None:
                 self.on_result(out, frames)
@@ -171,13 +204,20 @@ class StreamingPipeline:
         self.stats = StreamStats(
             start_time_s=time.perf_counter(), overlapped=self.fetch_fn is not None
         )
-        end = time.perf_counter() + duration_s if duration_s else None
+        self._last_seq.clear()
+        end = time.perf_counter() + duration_s if duration_s is not None else None
         while True:
             if end is not None and time.perf_counter() >= end:
                 break
             if max_ticks is not None and self.stats.ticks >= max_ticks:
                 break
+            before = self.stats.ticks
             self.tick()
+            if self.stats.ticks == before:
+                # Nothing dispatched (no frames / all stale): yield instead
+                # of burning a full core spinning on the mailboxes.
+                time.sleep(0.0005)
         if self.fetch_fn is not None:
             self.drain()
+        self.stats.end_time_s = time.perf_counter()
         return self.stats

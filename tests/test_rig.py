@@ -73,7 +73,11 @@ def test_streaming_pipeline_batches_all_cameras():
     shape, mask = calls[0]
     assert shape == (4, *hw, 3)
     assert mask[:3].all() and not mask[3]
-    assert stats.frames_processed == 15
+    # frames_processed deduplicates by Frame.seq: 5 ticks faster than the
+    # cameras produce must NOT claim 15 camera frames (the old stat counted
+    # mask bits per tick, inflating camera_fps above the sources' real
+    # rate); each live camera contributes at least its first frame.
+    assert 3 <= stats.frames_processed <= 15
 
 
 def test_tile_frames_layout_and_placeholder():
@@ -195,3 +199,115 @@ def test_streaming_pipeline_double_buffer_overlaps():
     assert wall < 0.8 * serial, (wall, serial)
     # And the phase accounting shows both phases paid in full.
     assert stats.total_step_time_s >= N * HOST_S * 0.9
+
+
+def test_worker_exception_marks_source_failed():
+    """A source worker that dies on an uncaught exception must flag
+    initialization_failed instead of leaving the source in limbo (neither
+    ready nor failed), which made the pipeline block its full init timeout
+    before misclassifying it."""
+    from mvropose_tpu.rig.source import _MailboxSource
+
+    class Exploding(_MailboxSource):
+        def _run(self):
+            raise ValueError("boom")
+
+    src = Exploding("s1")
+    src.start()
+    deadline = time.time() + 5
+    while not src.initialization_failed and time.time() < deadline:
+        time.sleep(0.01)
+    assert src.initialization_failed and not src.is_ready
+
+    # And the pipeline classifies it promptly (well under init_timeout_s).
+    t0 = time.time()
+    pipe = StreamingPipeline([Exploding("s2")], lambda im, m: None,
+                             frame_hw=(8, 8), init_timeout_s=10.0)
+    pipe.start()
+    try:
+        assert time.time() - t0 < 5.0
+        assert len(pipe.failed) == 1 and not pipe.active
+    finally:
+        pipe.stop()
+
+
+def test_source_restart_after_stop():
+    """stop() then start() must spawn a live worker again (the stop event is
+    cleared), not a thread that exits on its first loop check while the
+    source still claims to be ready with a stale frame."""
+    src = SyntheticSource("cam", hw=(8, 8), fps=500.0)
+    src.start()
+    deadline = time.time() + 5
+    while src.latest() is None and time.time() < deadline:
+        time.sleep(0.01)
+    src.stop()
+    seq_at_stop = src.latest().seq
+    src.start()
+    try:
+        deadline = time.time() + 5
+        while src.latest().seq == seq_at_stop and time.time() < deadline:
+            time.sleep(0.01)
+        assert src.latest().seq > seq_at_stop, "restarted worker never published"
+    finally:
+        src.stop()
+
+
+def test_run_duration_zero_returns_immediately():
+    src = SyntheticSource("cam", hw=(8, 8), fps=500.0)
+    pipe = StreamingPipeline([src], lambda im, m: None, frame_hw=(8, 8))
+    pipe.start()
+    try:
+        t0 = time.time()
+        stats = pipe.run(duration_s=0.0)
+        assert time.time() - t0 < 1.0
+        assert stats.ticks == 0
+    finally:
+        pipe.stop()
+
+
+def test_resolution_mismatch_counted_not_silent():
+    """Frames whose size differs from frame_hw are dropped but COUNTED, so
+    a misconfigured rig is diagnosable instead of a silent infinite spin."""
+    src = SyntheticSource("cam", hw=(16, 16), fps=500.0)
+    pipe = StreamingPipeline([src], lambda im, m: None, frame_hw=(8, 8))
+    pipe.start()
+    try:
+        deadline = time.time() + 5
+        while src.latest() is None and time.time() < deadline:
+            time.sleep(0.01)
+        assert pipe.tick() is None
+        assert pipe.stats.skipped_resolution >= 1
+    finally:
+        pipe.stop()
+
+
+def test_double_buffer_drains_pending_when_sources_stall():
+    """A dispatched set must not be withheld when the cameras stall: the
+    next tick with no new frames fetches and delivers the pending set (the
+    consumer most needs the last pose exactly when cameras misbehave)."""
+    hw = (8, 8)
+    src = SyntheticSource("cam", hw=hw, fps=500.0)
+    delivered = []
+
+    pipe = StreamingPipeline(
+        [src], lambda im, m: ("handle", int(m.sum())),
+        on_result=lambda r, f: delivered.append(r),
+        frame_hw=hw, fetch_fn=lambda h: ("fetched", h[1]),
+    )
+    pipe.start()
+    try:
+        deadline = time.time() + 5
+        while src.latest() is None and time.time() < deadline:
+            time.sleep(0.01)
+        assert pipe.tick() is None  # set 0 dispatched, nothing to fetch yet
+        assert pipe._pending is not None
+        src.stop()  # cameras die; mailbox keeps the stale frame
+        # Simulate total stall: empty the mailbox so the gather sees nothing.
+        with src._lock:
+            src._frame = None
+        out = pipe.tick()  # no new frames -> drains set 0
+        assert out == ("fetched", 1)
+        assert delivered == [("fetched", 1)]
+        assert pipe._pending is None
+    finally:
+        pipe.stop()
