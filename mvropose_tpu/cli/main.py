@@ -514,6 +514,15 @@ def _cmd_train(args) -> int:
         ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
     else:  # fr3 --single-view
         ds = builders.build_fr3_single_view(df, rig, image_hw)
+    if args.fk_loss_weight > 0 and not rig.extrinsics:
+        # Without calibrated extrinsics the dataset would ship its identity
+        # placeholder pose at full sample weight and the FK-consistency term
+        # would silently train against a bogus camera (DREAM rigs store
+        # camera-frame keypoints and no world->cam extrinsic).
+        raise SystemExit(
+            "--fk-loss-weight needs calibrated extrinsics (an ArUco summary); "
+            f"the {args.robot} rig has none"
+        )
     if args.fk_loss_weight > 0 and hasattr(ds, "with_extrinsics"):
         ds.with_extrinsics = True
     if multi_view and args.angle_head == "geometric3d":

@@ -70,10 +70,51 @@ def _load_image_rgb(path: str) -> np.ndarray | None:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
-def _parse_serial_cam(path: str) -> tuple[str, str]:
-    """zed_<serial>_<side>_<ts>.jpg -> (serial, '<side>cam')."""
+def _parse_serial_cam(path: str) -> tuple[str, str] | None:
+    """zed_<serial>_<side>_<ts>.jpg -> (serial, '<side>cam'); None when the
+    filename doesn't follow the convention (policy everywhere in the data
+    layer is skip-don't-crash, so a stray file in a capture dir must not
+    IndexError a whole training run)."""
     parts = Path(path).name.split("_")
+    if len(parts) < 3:
+        return None
     return parts[1], parts[2] + "cam"
+
+
+def _apply_roi_and_undistort(
+    geometry: "_RigGeometry",
+    s: SingleViewSample,
+    img: np.ndarray,
+    kp: np.ndarray,
+    undistort_on_host: bool,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Shared per-sample image prep: ROI crop (clamped) + host undistort +
+    shape gate. Returns (image at image_hw, keypoints in that frame) or None
+    when the sample can't be used (degenerate/out-of-frame ROI, wrong size).
+
+    The ROI box is CLAMPED to the image before both the crop and the
+    keypoint rescale: numpy slicing silently clips (and wraps negatives), so
+    an out-of-range box would otherwise crop one region while the keypoints
+    are rescaled for another - corrupted labels at full sample weight."""
+    H, W = geometry.image_hw
+    if s.roi is not None:
+        import cv2
+
+        x1, y1, x2, y2 = (int(v) for v in s.roi)
+        Hs, Ws = img.shape[:2]
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(Ws, x2), min(Hs, y2)
+        if x2 - x1 < 2 or y2 - y1 < 2:
+            return None
+        img = cv2.resize(img[y1:y2, x1:x2], (W, H))
+        kp = (kp - np.array([x1, y1], np.float32)) * np.array(
+            [W / (x2 - x1), H / (y2 - y1)], np.float32
+        )
+    if img.shape[:2] != (H, W):
+        return None
+    if undistort_on_host and s.roi is None:
+        img = geometry.undistort_host(img, geometry.key_to_idx[s.camera_key])
+    return img, kp
 
 
 class _RigGeometry:
@@ -202,7 +243,13 @@ def make_device_preprocessor(
     (B, V, ...) inputs (the view axis folds into batch). Augmentation (the
     kornia-style GPU batch aug of the reference) runs only when both
     augment_cfg and rng are given."""
-    remaps = jnp.asarray(geometry.remaps)
+    # Only materialize the remap tables when the device path will read them:
+    # at 6x1080p they are ~100 MB of HBM pinned for the preprocessor's
+    # lifetime, and the default path (host cv2.remap) never touches them.
+    if undistort_on_device:
+        remaps = jnp.asarray(geometry.remaps)
+    else:
+        remaps = jnp.zeros((len(geometry.camera_keys), 2, 1, 1), jnp.float32)
 
     def preprocess(images_u8, cam_idx, keypoints_2d, rng=None):
         lead = images_u8.shape[:-3]
@@ -288,21 +335,13 @@ class SingleViewDataset:
                     continue  # weight stays 0 (reference: None-filter collate)
                 ek = self.extr_key_fn(s) if self.extr_key_fn else None
                 kp = self.geometry.gt_keypoints(s, ek)
-                if s.roi is not None:
-                    import cv2
-
-                    x1, y1, x2, y2 = s.roi
-                    if x2 <= x1 or y2 <= y1:
-                        continue
-                    img = cv2.resize(img[y1:y2, x1:x2], (W, H))
-                    kp = (kp - np.array([x1, y1], np.float32)) * np.array(
-                        [W / (x2 - x1), H / (y2 - y1)], np.float32
-                    )
-                if img.shape[:2] != (H, W):
+                prepared = _apply_roi_and_undistort(
+                    self.geometry, s, img, kp, self.undistort_on_host
+                )
+                if prepared is None:
                     continue
+                img, kp = prepared
                 ci = self.geometry.key_to_idx[s.camera_key]
-                if self.undistort_on_host and s.roi is None:
-                    img = self.geometry.undistort_host(img, ci)
                 images[slot] = img
                 cam_idx[slot] = ci
                 angles[slot] = s.angles
@@ -359,32 +398,45 @@ class MultiViewDataset:
     def __len__(self) -> int:
         return len(self.groups)
 
+    def _resolve_view(self, path: str) -> dict | None:
+        """path -> {image_path, camera_key, extr_key, view, serial, cam} or
+        None when the filename/serial/calib/extrinsic doesn't resolve. The
+        ONE copy of the path-sniffing logic - batches() and
+        resolve_group_views() both consume it (they used to duplicate it
+        inline and had already drifted in ordering)."""
+        rig = self.geometry.rig
+        parsed = _parse_serial_cam(path)
+        if parsed is None:
+            return None
+        serial, cam = parsed
+        view = rig.serial_to_view.get(serial)
+        if view is None:
+            return None
+        ckey = f"{view}_{cam}"
+        if ckey not in self.geometry.key_to_idx:
+            return None
+        pose = self.pose_from_path(path) if self.pose_from_path else None
+        ekey = f"{pose}_{ckey}" if pose else ckey
+        if ekey not in rig.extrinsics:
+            if ckey in rig.extrinsics:
+                ekey = ckey  # unprefixed summary fallback
+            else:
+                return None
+        return {
+            "image_path": path, "camera_key": ckey, "extr_key": ekey,
+            "view": view, "serial": serial, "cam": cam,
+        }
+
     def resolve_group_views(self, group: Mapping) -> list[dict]:
         """Resolve a group's views to (image_path, camera_key, extrinsic_key,
         view name) — the path-sniffing logic of batches(), exposed for
         visualization (the reference's visualize_samples_by_group_size,
         MvRoPose_FR3.py:633-728)."""
-        rig = self.geometry.rig
         out = []
         for vd in group["views"][: self.max_views]:
-            path = vd["image_path"]
-            serial, cam = _parse_serial_cam(path)
-            view = rig.serial_to_view.get(serial)
-            if view is None:
-                continue
-            ckey = f"{view}_{cam}"
-            if ckey not in self.geometry.key_to_idx:
-                continue
-            pose = self.pose_from_path(path) if self.pose_from_path else None
-            ekey = f"{pose}_{ckey}" if pose else ckey
-            if ekey not in rig.extrinsics:
-                if ckey in rig.extrinsics:
-                    ekey = ckey
-                else:
-                    continue
-            out.append(
-                {"image_path": path, "camera_key": ckey, "extr_key": ekey, "view": view}
-            )
+            rv = self._resolve_view(vd["image_path"])
+            if rv is not None:
+                out.append(rv)
         return out
 
     def batches(
@@ -425,33 +477,26 @@ class MultiViewDataset:
                 angles[slot] = raw_angles[:A]
                 any_view = False
                 for v, vd in enumerate(g["views"][:V]):
-                    path = vd["image_path"]
-                    img = _load_image_rgb(path)
+                    # Resolve names/calib/extrinsics BEFORE the JPEG decode:
+                    # rejecting an unresolvable view costs dict lookups, not
+                    # a full-resolution image read.
+                    rv = self._resolve_view(vd["image_path"])
+                    if rv is None:
+                        continue
+                    img = _load_image_rgb(rv["image_path"])
                     if img is None or img.shape[:2] != (H, W):
                         continue
-                    serial, cam = _parse_serial_cam(path)
-                    view = rig.serial_to_view.get(serial)
-                    if view is None:
-                        continue
-                    ckey = f"{view}_{cam}"
-                    if ckey not in self.geometry.key_to_idx:
-                        continue
-                    pose = self.pose_from_path(path) if self.pose_from_path else None
-                    ekey = f"{pose}_{ckey}" if pose else ckey
-                    if ekey not in rig.extrinsics:
-                        if ckey in rig.extrinsics:
-                            ekey = ckey  # unprefixed summary fallback
-                        else:
-                            continue
+                    ckey, ekey, view = rv["camera_key"], rv["extr_key"], rv["view"]
                     sample = SingleViewSample(
-                        image_path=path, camera_key=ckey, view=view, angles=angles[slot]
+                        image_path=rv["image_path"], camera_key=ckey, view=view,
+                        angles=angles[slot],
                     )
                     if self.undistort_on_host:
                         img = self.geometry.undistort_host(
                             img, self.geometry.key_to_idx[ckey]
                         )
                     images[slot, v] = img
-                    view_ids[slot, v] = rig.view_index(serial, cam)
+                    view_ids[slot, v] = rig.view_index(rv["serial"], rv["cam"])
                     cam_idx[slot, v] = self.geometry.key_to_idx[ckey]
                     kpts[slot, v] = self.geometry.gt_keypoints(sample, ekey)
                     view_mask[slot, v] = True

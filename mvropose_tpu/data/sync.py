@@ -103,8 +103,15 @@ def _sync_images_to_joints(
     cfg: SyncConfig,
 ) -> pd.DataFrame:
     """Shared tail of the timestamp-based adapters."""
+    # Explicit None check: `or np.nan` would drop a legitimate 0.0 timestamp
+    # (captures that encode time relative to session start name the first
+    # frame ..._0.0.jpg).
     img_ts = np.array(
-        [parse_timestamp_from_filename(p) or np.nan for p in image_paths], dtype=np.float64
+        [
+            ts if (ts := parse_timestamp_from_filename(p)) is not None else np.nan
+            for p in image_paths
+        ],
+        dtype=np.float64,
     )
     ok = ~np.isnan(img_ts)
     image_paths = [p for p, o in zip(image_paths, ok) if o]

@@ -298,3 +298,111 @@ def test_host_vs_device_undistortion_parity(tmp_path):
     diff = np.abs(np.asarray(out_h) - np.asarray(out_d))[:, 4:-4, 4:-4]
     assert np.median(diff) < 0.02, float(np.median(diff))
     np.testing.assert_array_equal(np.asarray(hm_h), np.asarray(hm_d))
+
+
+def test_roi_out_of_range_box_clamped_or_skipped(tmp_path, rig):
+    """An ROI box extending past the image must be CLAMPED before both the
+    crop and the keypoint rescale (numpy slicing silently clips, so the old
+    code cropped one region while rescaling keypoints for another - labels
+    ~40% off at full weight), and a fully out-of-frame or negative box must
+    drop the sample, not wrap around via negative slicing."""
+    p = tmp_path / "zed_41182735_left_6000.0.jpg"
+    _write_img(p, 6)
+    base = SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=np.array([0.0, -30, 30, 0, 0, 0], np.float32),
+    )
+    geo = _RigGeometry(rig, (H, W))
+    kp_full = geo.gt_keypoints(base)
+
+    # Box extends past the right/bottom edges -> clamps to (10,5)-(W,H).
+    s = SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=base.angles, roi=(10, 5, W + 50, H + 40),
+    )
+    ds = SingleViewDataset([s], rig, (H, W))
+    batch = next(ds.batches(batch_size=1))
+    assert batch["sample_weight"][0] == 1.0
+    expect = (kp_full - [10, 5]) * [W / (W - 10), H / (H - 5)]
+    np.testing.assert_allclose(batch["keypoints_2d"][0], expect, atol=1e-4)
+
+    # Entirely out of frame -> weight 0 (old behavior: negative wrap crop).
+    for roi in ((W + 10, 5, W + 50, 40), (-50, -40, -10, -5)):
+        s2 = SingleViewSample(
+            image_path=str(p), camera_key="front_leftcam", view="front",
+            angles=base.angles, roi=roi,
+        )
+        b2 = next(SingleViewDataset([s2], rig, (H, W)).batches(batch_size=1))
+        assert b2["sample_weight"][0] == 0.0, roi
+
+
+def test_grain_loader_matches_direct_batches_with_distortion_and_roi(tmp_path):
+    """The grain path must be geometrically IDENTICAL to
+    SingleViewDataset.batches: same host undistortion, same (clamped) ROI
+    crop, same keypoints. The old _SampleMap skipped undistortion entirely
+    (labels shifted by the lens distortion) and never applied ROI (every
+    ROI sample silently became a weight-0 zero batch)."""
+    from mvropose_tpu.data.grain_loader import make_grain_loader
+
+    robot = get_robot("meca500")
+    dist = np.array([0.3, -0.1, 0.001, 0.001, 0.0])  # real lens distortion
+    extr = CameraExtrinsic(rvec=np.array([np.pi, 0.0, 0.0]), tvec=np.array([0.0, 0.1, 0.8]))
+    rig_d = RigSpec(
+        name="dist", robot=robot, serial_to_view={"41182735": "front"},
+        calibs={"front_leftcam": CameraCalib(K, dist)},
+        extrinsics={"front_leftcam": extr},
+        heatmap_size=(32, 32), sigma=2.0, max_views=2,
+    )
+    samples = []
+    for i, roi in enumerate([None, (10, 5, 70, 55), (20, 10, W + 30, H + 20)]):
+        p = tmp_path / f"zed_41182735_left_{8000 + i}.0.jpg"
+        _write_img(p, 80 + i)
+        samples.append(SingleViewSample(
+            image_path=str(p), camera_key="front_leftcam", view="front",
+            angles=np.array([10.0 * i, -20, 30, 0, 45, 0], np.float32), roi=roi,
+        ))
+    ds = SingleViewDataset(samples, rig_d, (H, W))
+    direct = next(ds.batches(batch_size=3))
+    grain_b = next(iter(make_grain_loader(ds, batch_size=3)))
+    assert direct["sample_weight"].tolist() == grain_b["sample_weight"].tolist() == [1.0] * 3
+    np.testing.assert_array_equal(direct["images_u8"], grain_b["images_u8"])
+    np.testing.assert_allclose(direct["keypoints_2d"], grain_b["keypoints_2d"], atol=1e-5)
+
+
+def test_grain_loader_num_epochs_none_repeats_forever(tmp_path, rig):
+    from mvropose_tpu.data.grain_loader import make_grain_loader
+
+    p = tmp_path / "zed_41182735_left_9000.0.jpg"
+    _write_img(p, 9)
+    samples = [SingleViewSample(
+        image_path=str(p), camera_key="front_leftcam", view="front",
+        angles=np.zeros(6, np.float32),
+    )] * 4
+    ds = SingleViewDataset(samples, rig, (H, W))
+    it = iter(make_grain_loader(ds, batch_size=2, num_epochs=None))
+    # 4 samples / batch 2 = 2 batches per epoch; draw well past one epoch.
+    for _ in range(7):
+        b = next(it)  # must never StopIteration
+    assert b["images_u8"].shape[0] == 2
+
+    # with_extrinsics is not in the grain schema - must refuse loudly.
+    ds.with_extrinsics = True
+    with pytest.raises(ValueError, match="with_extrinsics"):
+        make_grain_loader(ds, batch_size=2)
+
+
+def test_multiview_malformed_filename_skipped(tmp_path, rig):
+    """A stray file that doesn't follow zed_<serial>_<side>_<ts>.jpg must be
+    skipped (the data layer's policy), not IndexError the whole run."""
+    good = tmp_path / "zed_41182735_left_1000.0.jpg"
+    _write_img(good, 1)
+    stray = tmp_path / "stray.jpg"
+    _write_img(stray, 2)
+    groups = [{
+        "joint_angles": np.zeros(6, np.float32),
+        "views": [{"image_path": str(stray)}, {"image_path": str(good)}],
+    }]
+    ds = MultiViewDataset(groups, rig, (H, W))
+    batch = next(ds.batches(batch_size=1))
+    assert batch["view_mask"][0].tolist() == [False, True, False, False]
+    assert batch["sample_weight"][0] == 1.0

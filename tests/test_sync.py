@@ -213,3 +213,22 @@ def test_grouping_default_angle_cols_exclude_bookkeeping():
     )
     groups = group_by_time_tolerance(df, 0.05, max_views=8)
     assert groups[0]["joint_angles"] == [1.0, 2.0]
+
+
+def test_sync_zero_timestamp_not_dropped(tmp_path):
+    """A filename timestamp of exactly 0.0 (sessions that log time relative
+    to start name their first frame ..._0.0.jpg) is a legitimate parse, not
+    an unparseable file - the old `parse(...) or nan` falsy-zero check
+    silently dropped it from every timestamp-based sync."""
+    base = tmp_path / "rel0"
+    (base / "joint").mkdir(parents=True)
+    for i in range(3):
+        ts = i * 0.1
+        (base / "joint" / f"joint_{ts:.3f}.json").write_text(json.dumps([float(i)] * 6))
+        _touch_image(base / "left" / f"zed_38007749_left_{ts - 0.03:.3f}.jpg")
+
+    df = sync_fr5([base], SyncConfig(tolerance_s=0.05))
+    # The i=0 image is named ..._-0.030.jpg; ensure an EXACT 0.0 also syncs.
+    _touch_image(base / "left" / "zed_38007749_left_0.0.jpg")
+    df = sync_fr5([base], SyncConfig(tolerance_s=0.05))
+    assert any(str(p).endswith("_0.0.jpg") for p in df["image_path"])
