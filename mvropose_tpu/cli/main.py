@@ -523,6 +523,17 @@ def _cmd_train(args) -> int:
             "--fk-loss-weight needs calibrated extrinsics (an ArUco summary); "
             f"the {args.robot} rig has none"
         )
+    if args.fk_loss_weight > 0 and any(
+        s.roi is not None for s in getattr(ds, "samples", [])
+    ):
+        # ROI samples rescale keypoints into the crop frame while the FK
+        # term would project with the full-frame K - the two sides of the
+        # L2 would live in different pixel frames.
+        raise SystemExit(
+            "--fk-loss-weight is not supported with ROI-cropped datasets "
+            "(keypoints are in the crop frame, the FK projection in the "
+            "full camera frame)"
+        )
     if args.fk_loss_weight > 0 and hasattr(ds, "with_extrinsics"):
         ds.with_extrinsics = True
     if multi_view and args.angle_head == "geometric3d":
@@ -555,7 +566,11 @@ def _cmd_train(args) -> int:
     mesh = make_mesh(*args.mesh) if args.mesh else make_mesh()
     tcfg = TrainConfig(
         num_epochs=args.epochs,
-        steps_per_epoch=max(1, len(train_ds) // args.batch_size),
+        # ceil, not floor: the datasets PAD the final partial batch (shapes
+        # stay static), so an epoch runs ceil(len/bs) optimizer steps - a
+        # floor here would end the cosine schedule early and train the tail
+        # of every run at the eta_min floor.
+        steps_per_epoch=max(1, -(-len(train_ds) // args.batch_size)),
         lr_kpt=args.lr_kpt, lr_ang=args.lr_ang,
         loss_weight_kpt=args.loss_weight_kpt,
         loss_weight_fk=args.fk_loss_weight,

@@ -73,12 +73,17 @@ def fit(
             )
 
     history = []
-    rng = jax.random.PRNGKey(seed)
+    base_rng = jax.random.PRNGKey(seed)
     epochs_run = 0
     for epoch in range(start_epoch, cfg.num_epochs):
         epochs_run += 1
         # Per-epoch reshuffle: the sampler.set_epoch equivalent is just a new
         # PRNG fold (the batch source reshuffles with `epoch` as seed).
+        # Deriving the dropout stream by folding the EPOCH index (rather than
+        # splitting a sequential stream) makes a resumed run consume the same
+        # keys an uninterrupted run would at this epoch, instead of replaying
+        # epoch 0's sequence after every restore.
+        rng = jax.random.fold_in(base_rng, epoch)
         t0 = time.time()
         train_metrics = []
         for batch in train_batches(epoch):
@@ -95,11 +100,19 @@ def fit(
         for batch in val_batches():
             out = eval_step(state, batch)
             val_metrics.append({k: out[k] for k in ("loss", "loss_kpt", "loss_ang")})
+            # Progress signal in HEATMAP pixels against argmax-requantized GT
+            # heatmaps (coarser than the eval CLI's image-pixel PCK against
+            # exact keypoints - at stride 4, k=5 here ~ PCK@20 image px; use
+            # `cli eval` for the comparable number). Padded weight-0 slots
+            # are excluded on both the multi-view (view_mask) and
+            # single-view (sample_weight) paths.
             pred_xy, _ = argmax_decode(out["pred_heatmaps"])
             gt_xy, _ = argmax_decode(batch["heatmaps"])
             valid = batch.get("view_mask")
             if valid is not None:
                 valid = valid[..., None]  # (B, V, 1) broadcast over joints
+            elif batch.get("sample_weight") is not None:
+                valid = batch["sample_weight"][:, None] > 0  # (B, 1) over joints
             pcks.append(float(pck_at_k(pred_xy, gt_xy, k_px=5.0, valid=valid)))
         val_avg = {
             f"val_{k}": float(np.mean([float(m[k]) for m in val_metrics])) if val_metrics else float("nan")

@@ -71,7 +71,18 @@ def _label_params(params, freeze_backbone: bool = True) -> Any:
     reference's from-scratch ablation mode; also what the synthetic
     convergence runs use, since no pretrained weights exist offline)."""
 
+    known = set(KPT_MODULES) | set(ANG_MODULES) | set(FROZEN_MODULES)
+
     def label_for(name: str) -> str:
+        # Unknown top-level modules are a hard error, not a silent default:
+        # a renamed/new module would otherwise train under the kpt learning
+        # rate (and unfrozen) with no symptom.
+        if name not in known:
+            raise ValueError(
+                f"param module '{name}' is not in any optimizer group "
+                f"(known: {sorted(known)}); add it to KPT_MODULES/"
+                "ANG_MODULES/FROZEN_MODULES in train/state.py"
+            )
         if freeze_backbone and name in FROZEN_MODULES:
             return "frozen"
         if name in ANG_MODULES:

@@ -28,7 +28,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mvropose_tpu.train.losses import (
     heatmap_mse_loss,
     masked_multiview_heatmap_loss,
-    smooth_l1_loss,
 )
 from mvropose_tpu.train.state import TrainState, TrainConfig
 
@@ -54,6 +53,22 @@ def _shard_multiview_batch(mesh: Mesh, batch):
         out.update(rest)
         return out
     return _shard_over_data(mesh, out)
+
+
+def _weighted_mean(per_sample: jnp.ndarray, w: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean over samples, weighted by validity (padded weight-0 slots of the
+    fixed-shape batches must not contribute - their images are zeros and
+    their GT is garbage)."""
+    if w is None:
+        return jnp.mean(per_sample)
+    wf = w.astype(jnp.float32)
+    return jnp.sum(per_sample * wf) / (jnp.sum(wf) + 1e-8)
+
+
+def _huber_per_sample(pred, gt, beta):
+    d = jnp.abs(pred - gt)
+    hub = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+    return jnp.mean(hub, axis=-1)
 
 
 def make_single_view_train_step(
@@ -83,20 +98,29 @@ def make_single_view_train_step(
             w = batch.get("sample_weight")
             if w is None:
                 loss_kpt = heatmap_mse_loss(pred_hm, batch["heatmaps"])
-                loss_ang = smooth_l1_loss(pred_ang, batch["angles"], cfg.angle_beta)
             else:
-                wf = w.astype(jnp.float32)
                 per = jnp.mean((pred_hm - batch["heatmaps"]) ** 2, axis=(1, 2, 3))
-                loss_kpt = jnp.sum(per * wf) / (jnp.sum(wf) + 1e-8)
-                d = jnp.abs(pred_ang - batch["angles"])
-                hub = jnp.where(
-                    d < cfg.angle_beta, 0.5 * d * d / cfg.angle_beta, d - 0.5 * cfg.angle_beta
-                )
-                loss_ang = jnp.sum(jnp.mean(hub, axis=-1) * wf) / (jnp.sum(wf) + 1e-8)
+                loss_kpt = _weighted_mean(per, w)
+            loss_ang = _weighted_mean(
+                _huber_per_sample(pred_ang, batch["angles"], cfg.angle_beta), w
+            )
             total = loss_kpt * cfg.loss_weight_kpt + loss_ang
 
             loss_fk = jnp.zeros(())
-            if cfg.loss_weight_fk > 0.0 and robot is not None and "rvec" in batch:
+            if cfg.loss_weight_fk > 0.0:
+                # A requested FK term must never silently no-op: that trains
+                # without the loss the user explicitly enabled.
+                if robot is None:
+                    raise ValueError("loss_weight_fk > 0 requires robot=")
+                missing = [
+                    k for k in ("rvec", "tvec", "K", "base_rotation", "keypoints_2d")
+                    if k not in batch
+                ]
+                if missing:
+                    raise ValueError(
+                        f"loss_weight_fk > 0 but the batch lacks {missing} - "
+                        "set dataset.with_extrinsics=True"
+                    )
                 from mvropose_tpu.geometry.camera import project_points
                 from mvropose_tpu.geometry.robots import forward_kinematics
 
@@ -109,12 +133,7 @@ def make_single_view_train_step(
                     batch["tvec"], batch["K"],
                 )
                 per = jnp.mean((proj - batch["keypoints_2d"]) ** 2, axis=(1, 2))
-                wf = batch.get("sample_weight")
-                if wf is None:
-                    loss_fk = jnp.mean(per)
-                else:
-                    wf = wf.astype(jnp.float32)
-                    loss_fk = jnp.sum(per * wf) / (jnp.sum(wf) + 1e-8)
+                loss_fk = _weighted_mean(per, w)
                 total = total + cfg.loss_weight_fk * loss_fk
             return total, (loss_kpt, loss_ang, loss_fk, mutated)
 
@@ -156,7 +175,13 @@ def make_multi_view_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Ca
             loss_kpt = masked_multiview_heatmap_loss(
                 pred_hm, batch["heatmaps"], batch["view_mask"]
             )
-            loss_ang = smooth_l1_loss(pred_ang, batch["angles"], cfg.angle_beta)
+            # Group validity = any real view: padded tail groups (all views
+            # masked, zero angles) and all-views-failed groups must not push
+            # the angle head toward predicting from blank input.
+            gw = jnp.any(batch["view_mask"], axis=1)
+            loss_ang = _weighted_mean(
+                _huber_per_sample(pred_ang, batch["angles"], cfg.angle_beta), gw
+            )
             total = loss_kpt * cfg.loss_weight_kpt + loss_ang
             return total, (loss_kpt, loss_ang, mutated)
 
@@ -170,10 +195,19 @@ def make_multi_view_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Ca
 
 
 def make_eval_step(cfg: TrainConfig, multi_view: bool, mesh: Mesh | None = None) -> Callable:
+    """Eval applies the SAME masking as the train steps: the fixed-shape
+    batches pad their tail with weight-0 slots (zero images, corner-gaussian
+    GT heatmaps, zero angles), and averaging those at full weight biases
+    val_loss by a model-dependent amount - corrupting best-model selection
+    whenever the val set isn't divisible by the batch size."""
+
     @jax.jit
     def eval_step(state: TrainState, batch):
         if mesh is not None:
-            batch = _shard_over_data(mesh, batch)
+            batch = (
+                _shard_multiview_batch(mesh, batch) if multi_view
+                else _shard_over_data(mesh, batch)
+            )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if multi_view:
             pred_hm, pred_ang = state.apply_fn(
@@ -183,10 +217,18 @@ def make_eval_step(cfg: TrainConfig, multi_view: bool, mesh: Mesh | None = None)
             loss_kpt = masked_multiview_heatmap_loss(
                 pred_hm, batch["heatmaps"], batch["view_mask"]
             )
+            w = jnp.any(batch["view_mask"], axis=1)
         else:
             pred_hm, pred_ang = state.apply_fn(variables, batch["images"])
-            loss_kpt = heatmap_mse_loss(pred_hm, batch["heatmaps"])
-        loss_ang = smooth_l1_loss(pred_ang, batch["angles"], cfg.angle_beta)
+            w = batch.get("sample_weight")
+            if w is None:
+                loss_kpt = heatmap_mse_loss(pred_hm, batch["heatmaps"])
+            else:
+                per = jnp.mean((pred_hm - batch["heatmaps"]) ** 2, axis=(1, 2, 3))
+                loss_kpt = _weighted_mean(per, w)
+        loss_ang = _weighted_mean(
+            _huber_per_sample(pred_ang, batch["angles"], cfg.angle_beta), w
+        )
         total = loss_kpt * cfg.loss_weight_kpt + loss_ang
         return {
             "loss": total,

@@ -361,3 +361,92 @@ def test_multiview_mesh_shapes_equal_unsharded(rng, n_data, n_model):
         jax.tree_util.tree_leaves(state.params["fusion_module"]),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_eval_step_masks_padded_slots(rng):
+    """val loss must exclude weight-0 padded slots (zero image, garbage GT):
+    the old eval_step averaged them at full weight, biasing best-model
+    selection whenever len(val) % batch_size != 0."""
+    model = SingleViewPoseEstimator(TINY)
+    batch = make_sv_batch(rng, B=4)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig()
+    state = create_train_state(model, variables, cfg)
+    ev = make_eval_step(cfg, multi_view=False)
+
+    full = dict(batch)
+    full["sample_weight"] = jnp.ones((4,))
+    clean = ev(state, full)
+
+    # Corrupt slot 3's GT wildly and zero its weight: the loss must not move.
+    dirty = dict(full)
+    dirty["heatmaps"] = full["heatmaps"].at[3].add(100.0)
+    dirty["angles"] = full["angles"].at[3].add(1000.0)
+    dirty["images"] = full["images"].at[3].set(0.0)
+    dirty["sample_weight"] = jnp.array([1.0, 1.0, 1.0, 0.0])
+    masked = ev(state, dirty)
+    # Equal to evaluating the 3 valid slots alone.
+    ref = ev(state, {k: v[:3] for k, v in full.items()})
+    np.testing.assert_allclose(float(masked["loss"]), float(ref["loss"]), rtol=1e-5)
+    assert abs(float(masked["loss"]) - float(clean["loss"])) < 1e3  # sanity
+    assert float(dirty["heatmaps"][3].max()) > 50  # corruption was real
+
+
+def test_multiview_angle_loss_masks_empty_groups(rng):
+    """Padded tail groups (all views masked, zero angles) must contribute
+    zero angle gradient: the old step trained the angle head toward
+    predicting 0 from blank input on every partial batch."""
+    model = MultiViewPoseEstimator(TINY)
+    B, V = 4, 2
+    kps = rng.uniform(4, 28, size=(B, V, 4, 2)).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, V, 64, 64, 3)).astype(np.float32)),
+        "view_ids": jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1)),
+        "view_mask": jnp.ones((B, V), bool),
+        "heatmaps": render_heatmaps(jnp.asarray(kps), 32, 32, sigma=2.0),
+        "angles": jnp.asarray(rng.uniform(-1, 1, size=(B, 3)).astype(np.float32)),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["images"][:1], batch["view_ids"][:1],
+        batch["view_mask"][:1],
+    )
+    cfg = TrainConfig()
+    state = create_train_state(model, variables, cfg)
+    ev = make_eval_step(cfg, multi_view=True)
+
+    full = dict(batch)
+    full["view_mask"] = jnp.ones((4, 2), bool)
+    # Empty group 3 with garbage angles: loss must equal the 3-group eval.
+    dirty = dict(full)
+    dirty["view_mask"] = full["view_mask"].at[3].set(False)
+    dirty["angles"] = full["angles"].at[3].add(1000.0)
+    masked = ev(state, dirty)
+    ref = ev(state, {k: v[:3] for k, v in full.items()})
+    np.testing.assert_allclose(
+        float(masked["loss_ang"]), float(ref["loss_ang"]), rtol=1e-5
+    )
+
+
+def test_label_params_rejects_unknown_module():
+    """A new/renamed top-level module must be assigned to an optimizer group
+    explicitly - the old catch-all silently trained it under the kpt LR."""
+    from mvropose_tpu.train.state import _label_params
+
+    params = {"backbone": {"w": jnp.zeros(3)}, "mystery_head": {"w": jnp.zeros(3)}}
+    with pytest.raises(ValueError, match="mystery_head"):
+        _label_params(params)
+
+
+def test_fk_loss_missing_fields_is_hard_error(rng):
+    """--fk-loss-weight must never silently no-op when the batch lacks the
+    extrinsic fields (the user explicitly enabled the loss)."""
+    from mvropose_tpu.geometry.robots import MECA500
+
+    model = SingleViewPoseEstimator(TINY)
+    batch = make_sv_batch(rng, B=2)
+    variables = model.init(jax.random.PRNGKey(0), batch["images"][:1])
+    cfg = TrainConfig(loss_weight_fk=0.1)
+    state = create_train_state(model, variables, cfg)
+    step = make_single_view_train_step(cfg, robot=MECA500)
+    with pytest.raises(ValueError, match="lacks"):
+        step(state, batch, jax.random.PRNGKey(1))
