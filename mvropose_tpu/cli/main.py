@@ -353,7 +353,8 @@ def _graft_backbone_ckpt(variables, ckpt_path, vit_cfg):
         raise ValueError(
             f"backbone checkpoint structure mismatch: missing={missing[:5]} "
             f"extra={extra[:5]} (check --hidden-size/--num-layers/"
-            f"--register-tokens/--backbone-native-size)"
+            f"--register-tokens/--backbone-native-size; a DINOv3 RoPE "
+            f"checkpoint additionally needs --rope - it has no pos_embed)"
         )
     bad = [k for k in init_paths if init_paths[k] != tuple(conv_paths[k])]
     if bad:
@@ -552,6 +553,8 @@ def _cmd_train(args) -> int:
         num_heads=args.hidden_size // 64,
         num_register_tokens=args.register_tokens,
         dtype="bfloat16",
+        use_rope=args.rope,
+        layer_norm_eps=1e-5 if args.rope else 1e-6,  # DINOv3 vs DINOv2/timm
     )
     freeze = not args.no_freeze_backbone
     n_kp = rig.num_keypoints
@@ -732,6 +735,8 @@ def _cmd_eval(args) -> int:
             patch_size=args.patch_size, hidden_size=args.hidden_size,
             num_layers=args.num_layers, num_heads=args.hidden_size // 64,
             num_register_tokens=args.register_tokens, dtype="bfloat16",
+            use_rope=getattr(args, "rope", False),
+            layer_norm_eps=1e-5 if getattr(args, "rope", False) else 1e-6,
         )
         cfg = EstimatorConfig(
             vit=vit, num_joints=rig.num_keypoints, num_angles=rig.robot.n_joints,
@@ -1143,6 +1148,8 @@ def _cmd_serve(args) -> int:
             patch_size=args.patch_size, hidden_size=args.hidden_size,
             num_layers=args.num_layers, num_heads=args.hidden_size // 64,
             num_register_tokens=args.register_tokens, dtype="bfloat16",
+            use_rope=getattr(args, "rope", False),
+            layer_norm_eps=1e-5 if getattr(args, "rope", False) else 1e-6,
         )
         cfg = EstimatorConfig(vit=vit, num_joints=n_joints, num_angles=n_angles,
                               max_views=args.views, angle_head=args.angle_head)
@@ -1717,6 +1724,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--patch-size", type=int, default=16)
     pt.add_argument("--register-tokens", type=int, default=0,
                     help="DINOv3-style register tokens (vitb16: 4)")
+    pt.add_argument("--rope", action="store_true",
+                    help="DINOv3-style rotary position embeddings (pair with "
+                         "a converted facebook/dinov3-* --backbone-ckpt; "
+                         "sets torch's 1e-5 LayerNorm eps)")
     pt.add_argument("--backbone-native-size", type=int, default=None,
                     help="checkpoint's native image size when it differs from "
                          "--model-size (e.g. 518 for timm DINOv2); pos-embeds "
@@ -1746,6 +1757,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--num-layers", type=int, default=12)
     pe.add_argument("--patch-size", type=int, default=16)
     pe.add_argument("--register-tokens", type=int, default=0)
+    pe.add_argument("--rope", action="store_true")
     pe.add_argument("--backbone-native-size", type=int, default=None,
                     help="(arch flags are only consulted when the params dir "
                          "has no model_config.json)")
@@ -1795,6 +1807,7 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--num-layers", type=int, default=12)
     pv.add_argument("--patch-size", type=int, default=16)
     pv.add_argument("--register-tokens", type=int, default=0)
+    pv.add_argument("--rope", action="store_true")
     pv.add_argument("--backbone-native-size", type=int, default=None,
                     help="(arch flags are only consulted when the params dir "
                          "has no model_config.json)")

@@ -19,7 +19,10 @@ timm naming (vit_base_patch14_dinov2 family):
   blocks.{i}.ls1.gamma / ls2.gamma
   blocks.{i}.mlp.fc1.{weight (4D,D), bias} / fc2.{weight (D,4D), bias}
   norm.{weight,bias}
-HF dinov3 names are mapped onto the same slots via _HF_ALIASES.
+HF DINOv2 names are normalized onto the same slots via _hf_to_timm_key; real
+HF DINOv3 checkpoints (RoPE attention, q_proj/o_proj naming, no pos_embed)
+take the separate convert_dinov3_state_dict path and require
+ViTConfig(use_rope=True).
 """
 
 from __future__ import annotations
@@ -57,6 +60,83 @@ def _hf_to_timm_key(name: str) -> str:
     return n
 
 
+def is_dinov3_state_dict(sd: Mapping[str, np.ndarray]) -> bool:
+    """Real HF DINOv3 ViTs (facebook/dinov3-*) use RoPE attention with
+    separate q/k/v/o projections and NO position-embedding parameter."""
+    return any(".attention.q_proj." in k or ".attention.o_proj." in k for k in sd)
+
+
+def convert_dinov3_state_dict(
+    sd: Mapping[str, np.ndarray],
+    num_layers: int,
+    num_heads: int,
+    hidden_size: int,
+) -> dict:
+    """HF DINOv3ViTModel state dict -> params for ViTBackbone(use_rope=True).
+
+    Mapping (see transformers dinov3_vit.modeling_dinov3_vit):
+      embeddings.{cls_token, register_tokens, patch_embeddings.*}
+      layer.{i}.{norm1, norm2, attention.{q,k,v,o}_proj,
+                 layer_scale{1,2}.lambda1, mlp.{up,down}_proj}
+      norm
+    k_proj has NO bias in DINOv3 (config.key_bias=False) - written as zeros
+    (bias=0 is the identical computation). mask_token is ignored (inference
+    never masks patches). Gated-MLP (7B-scale) checkpoints are rejected.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if any(".mlp.gate_proj." in k for k in sd):
+        raise NotImplementedError(
+            "gated-MLP DINOv3 checkpoints (ViT-7B scale) are not supported; "
+            "the reference uses vitb16/vitl16 (standard MLP)"
+        )
+    D, H = hidden_size, num_heads
+    Dh = D // H
+
+    params: dict = {}
+    params["cls_token"] = sd["embeddings.cls_token"].reshape(1, 1, D)
+    if "embeddings.register_tokens" in sd:
+        params["register_tokens"] = sd["embeddings.register_tokens"].reshape(1, -1, D)
+    w = sd["embeddings.patch_embeddings.weight"]  # (D, 3, p, p)
+    params["patch_embed"] = {
+        "kernel": np.transpose(w, (2, 3, 1, 0)),  # (p, p, 3, D) NHWC conv
+        "bias": sd["embeddings.patch_embeddings.bias"],
+    }
+    for i in range(num_layers):
+        pre = f"layer.{i}."
+        blk: dict = {
+            "norm1": {"scale": sd[pre + "norm1.weight"], "bias": sd[pre + "norm1.bias"]},
+            "norm2": {"scale": sd[pre + "norm2.weight"], "bias": sd[pre + "norm2.bias"]},
+        }
+        att = {}
+        for ours, theirs in (("query", "q_proj"), ("key", "k_proj"), ("value", "v_proj")):
+            att[ours] = {
+                "kernel": _t(sd[pre + f"attention.{theirs}.weight"]).reshape(D, H, Dh),
+                "bias": sd.get(
+                    pre + f"attention.{theirs}.bias", np.zeros(D, np.float32)
+                ).reshape(H, Dh),
+            }
+        att["out"] = {
+            "kernel": _t(sd[pre + "attention.o_proj.weight"]).reshape(H, Dh, D),
+            "bias": sd[pre + "attention.o_proj.bias"],
+        }
+        blk["attn"] = att
+        blk["ls1"] = {"gamma": sd[pre + "layer_scale1.lambda1"].reshape(-1)}
+        blk["ls2"] = {"gamma": sd[pre + "layer_scale2.lambda1"].reshape(-1)}
+        blk["mlp"] = {
+            "fc1": {
+                "kernel": _t(sd[pre + "mlp.up_proj.weight"]),
+                "bias": sd[pre + "mlp.up_proj.bias"],
+            },
+            "fc2": {
+                "kernel": _t(sd[pre + "mlp.down_proj.weight"]),
+                "bias": sd[pre + "mlp.down_proj.bias"],
+            },
+        }
+        params[f"block_{i}"] = blk
+    params["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    return params
+
+
 def convert_dino_state_dict(
     sd: Mapping[str, np.ndarray],
     num_layers: int,
@@ -64,7 +144,12 @@ def convert_dino_state_dict(
     hidden_size: int,
 ) -> dict:
     """-> params dict for ViTBackbone (plug into {'params': {'backbone': ...}}
-    or apply directly to a bare ViTBackbone)."""
+    or apply directly to a bare ViTBackbone). Dispatches on the naming
+    scheme: timm / HF-DINOv2 absolute-pos-embed checkpoints map here; real
+    HF DINOv3 (RoPE, q_proj/o_proj naming) maps via
+    convert_dinov3_state_dict - pair those with ViTConfig(use_rope=True)."""
+    if is_dinov3_state_dict(sd):
+        return convert_dinov3_state_dict(sd, num_layers, num_heads, hidden_size)
     sd = {_hf_to_timm_key(k): np.asarray(v) for k, v in sd.items()}
     D = hidden_size
     H = num_heads

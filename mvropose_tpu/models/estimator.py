@@ -95,13 +95,17 @@ class GeometricAngleHead(nn.Module):
 
     @nn.compact
     def __call__(self, heatmaps, view_mask=None, proj_mats=None):
-        from mvropose_tpu.geometry.heatmap import peak_refine_decode, soft_argmax_decode
+        # The one decode dispatch lives in decode_keypoints - a decode fix
+        # there must reach this bottleneck too (image_hw=None keeps heatmap
+        # pixels; the heatmaps are stop_gradient-ed so differentiability of
+        # the decode path is irrelevant here).
+        from mvropose_tpu.decode import decode_keypoints
 
         hm = jax.lax.stop_gradient(heatmaps).astype(jnp.float32)
-        if self.decode == "refine":
-            xy, conf = peak_refine_decode(hm, temperature=self.temperature)
-        else:
-            xy, conf = soft_argmax_decode(hm, self.temperature)  # (..., J, 2), (..., J)
+        xy, conf = decode_keypoints(
+            hm, image_hw=None, mode=self.decode, temperature=self.temperature,
+            use_pallas=False,
+        )  # (..., J, 2), (..., J)
         h, w = hm.shape[-2], hm.shape[-1]
         xy_px = xy  # heatmap-pixel coords, kept for the triangulation branch
         xy = xy / jnp.asarray([w - 1.0, h - 1.0], jnp.float32) * 2.0 - 1.0
@@ -125,6 +129,14 @@ class GeometricAngleHead(nn.Module):
                 wgt = wgt * view_mask.astype(jnp.float32)[..., None]  # (B, V, J)
             pts3d = jax.vmap(triangulate_keypoints)(xy_px, proj_mats, wgt)  # (B, J, 3)
             obs = jnp.sum((wgt > 0.05).astype(jnp.float32), axis=1)  # (B, J) view count
+            # DLT needs >= 2 observing views; below that the homogeneous
+            # system is rank-deficient, the null-space vector is arbitrary,
+            # and X[:3]/X[3] can reach ~1e12 - an unbounded MLP input the
+            # conf feature cannot rescale. Zero unobservable points (the obs
+            # feature tells the MLP they're absent) and clip the rest to a
+            # generous workspace bound as a numerical backstop.
+            pts3d = jnp.where((obs >= 2.0)[..., None], pts3d, 0.0)
+            pts3d = jnp.clip(pts3d, -100.0, 100.0)
             pts3d_feats = jnp.concatenate(
                 [pts3d.reshape(pts3d.shape[0], -1), obs], axis=-1
             )  # (B, 4J)
@@ -159,6 +171,14 @@ class SingleViewPoseEstimator(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False):
         c = self.cfg
+        if c.angle_head == "geometric3d":
+            # Silently building the query head here would save a checkpoint
+            # whose model_config claims geometric3d while its params are a
+            # JointAngleHead.
+            raise ValueError(
+                "angle_head='geometric3d' is multi-view only (its DLT branch "
+                "triangulates across views); use 'geometric' for single-view"
+            )
         out = ViTBackbone(c.vit, name="backbone")(images)
         tokens = out["patch_tokens"]
         if c.freeze_backbone:
@@ -200,6 +220,21 @@ class MultiViewPoseEstimator(nn.Module):
         otherwise."""
         c = self.cfg
         B, V, H, W, _ = images.shape
+        # BatchNorm in the folded B*V stem/keypoint head computes batch
+        # statistics over EVERY slot; the dataset pads missing views with
+        # zero images, so the stats (and the saved running averages) would
+        # shift with the padding ratio - e.g. 2 real views padded to V=10
+        # puts ~80% black frames into the normalization population.
+        # Substitute each sample's first REAL view into its masked slots:
+        # those slots' outputs are already excluded everywhere downstream
+        # (masked fusion attention, masked losses, masked decode features),
+        # so only the normalization population changes - real images instead
+        # of black frames. All-masked samples keep their zero images.
+        first_valid = jnp.argmax(view_mask, axis=1)  # (B,)
+        ref_img = jnp.take_along_axis(
+            images, first_valid[:, None, None, None, None], axis=1
+        )  # (B, 1, H, W, 3)
+        images = jnp.where(view_mask[..., None, None, None], images, ref_img)
         flat = images.reshape(B * V, H, W, 3)
 
         out = ViTBackbone(c.vit, name="backbone")(flat)

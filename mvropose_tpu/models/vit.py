@@ -82,6 +82,18 @@ class ViTConfig:
     num_register_tokens: int = 0
     layerscale_init: Optional[float] = 1e-5  # None disables LayerScale
     dtype: str = "bfloat16"
+    # DINOv3 mode: axial rotary position embeddings applied to q/k of the
+    # PATCH tokens in every attention block (cls/register tokens unrotated),
+    # instead of learned absolute position embeddings - the real
+    # facebook/dinov3-* ViTs have no pos_embed parameter at all (HF
+    # DINOv3ViTModel semantics: patch-center coords normalized to [-1, 1],
+    # inv_freq = rope_theta ** -arange(0, 1, 4/head_dim)). Works at any
+    # input grid without interpolation - the coords are recomputed per grid.
+    use_rope: bool = False
+    rope_theta: float = 100.0
+    # torch LayerNorm eps: timm/HF DINOv2 use 1e-6, HF DINOv3 uses 1e-5 -
+    # parity with converted checkpoints needs the exact value.
+    layer_norm_eps: float = 1e-6
 
     @property
     def grid_size(self) -> int:
@@ -129,6 +141,37 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+def _rope_cos_sin(gh: int, gw: int, head_dim: int, theta: float):
+    """Static (N, head_dim) cos/sin tables for axial RoPE over a gh x gw
+    patch grid, reproducing HF DINOv3ViTRopePositionEmbedding exactly:
+    patch-center coords (i + 0.5)/n mapped to [-1, 1]; angles =
+    2*pi*coords (x) inv_freq over the (h, w) axis pair, flattened then
+    tiled to head_dim. Pure numpy at trace time - constants under jit."""
+    inv_freq = 1.0 / theta ** np.arange(0, 1, 4 / head_dim, dtype=np.float64)
+    ch = 2.0 * ((np.arange(gh, dtype=np.float64) + 0.5) / gh) - 1.0
+    cw = 2.0 * ((np.arange(gw, dtype=np.float64) + 0.5) / gw) - 1.0
+    coords = np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1).reshape(-1, 2)
+    angles = 2.0 * np.pi * coords[:, :, None] * inv_freq[None, None, :]
+    angles = angles.reshape(coords.shape[0], -1)
+    angles = np.tile(angles, (1, 2))  # (N, head_dim)
+    return (
+        jnp.asarray(np.cos(angles), jnp.float32),
+        jnp.asarray(np.sin(angles), jnp.float32),
+    )
+
+
+def _apply_rope(x: jnp.ndarray, cos, sin, n_prefix: int) -> jnp.ndarray:
+    """Rotate the PATCH tokens of (B, T, H, dh) q/k; prefix tokens
+    (cls + registers) pass through unrotated (HF apply_rotary_pos_emb)."""
+    prefix, patches = x[:, :n_prefix], x[:, n_prefix:]
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(patches, 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    patches = patches * c + rotated * s
+    return jnp.concatenate([prefix, patches], axis=1)
+
+
 class FusedMHA(nn.Module):
     """Self-attention with the Pallas flash kernel on TPU.
 
@@ -136,13 +179,15 @@ class FusedMHA(nn.Module):
     (query/key/value DenseGeneral (D, H, dh) + out (H, dh, D)), so converted
     DINO checkpoints plug in unchanged; only the score computation differs
     (tiled online softmax instead of a materialized (B, H, T, T) matrix).
+    rope: optional (cos, sin, n_prefix) - DINOv3-style rotary embedding
+    applied to q/k patch tokens after projection.
     """
 
     num_heads: int
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x, key_mask=None):
+    def __call__(self, x, key_mask=None, rope=None):
         from mvropose_tpu.ops.attention import fused_self_attention
 
         D = x.shape[-1]
@@ -153,6 +198,10 @@ class FusedMHA(nn.Module):
         q = proj("query")(x)
         k = proj("key")(x)
         v = proj("value")(x)
+        if rope is not None:
+            cos, sin, n_prefix = rope
+            q = _apply_rope(q, cos, sin, n_prefix)
+            k = _apply_rope(k, cos, sin, n_prefix)
         out = fused_self_attention(q, k, v, key_mask=key_mask)
         return nn.DenseGeneral(
             features=D, axis=(-2, -1), dtype=self.dtype, name="out"
@@ -163,15 +212,16 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None):
         c = self.cfg
         dt = c.compute_dtype
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(dt)
-        h = FusedMHA(num_heads=c.num_heads, dtype=dt, name="attn")(h)
+        eps = c.layer_norm_eps
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm1")(x).astype(dt)
+        h = FusedMHA(num_heads=c.num_heads, dtype=dt, name="attn")(h, rope=rope)
         if c.layerscale_init is not None:
             h = LayerScale(c.hidden_size, c.layerscale_init, name="ls1")(h)
         x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(dt)
+        h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm2")(x).astype(dt)
         h = Mlp(int(c.hidden_size * c.mlp_ratio), c.hidden_size, dt, name="mlp")(h)
         if c.layerscale_init is not None:
             h = LayerScale(c.hidden_size, c.layerscale_init, name="ls2")(h)
@@ -209,30 +259,45 @@ class ViTBackbone(nn.Module):
         cls = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, c.hidden_size)
         )
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.truncated_normal(0.02),
-            (1, c.num_patches + 1, c.hidden_size),
-        )
-        # Interpolate position embeddings if the input grid differs from the
-        # config grid (e.g. converted 518px DINO weights run at 224/512).
-        # Separable torch-exact bicubic as two small matmuls: the resize
-        # matrices are computed in numpy at TRACE time (static shapes), so
-        # under jit this is just two einsums - and it reproduces torch's
-        # a=-0.75 antialiased kernel bit-for-bit, which jax.image.resize
-        # (Catmull-Rom a=-0.5) does not.
-        patch_pos = pos[:, 1:, :]
-        if gh * gw != c.num_patches:
-            g0 = c.grid_size
-            Mh = jnp.asarray(_torch_bicubic_matrix(g0, gh), jnp.float32)
-            Mw = jnp.asarray(_torch_bicubic_matrix(g0, gw), jnp.float32)
-            grid_pos = patch_pos.reshape(g0, g0, c.hidden_size)
-            grid_pos = jnp.einsum("Hh,hwd->Hwd", Mh, grid_pos)
-            grid_pos = jnp.einsum("Ww,hwd->hWd", Mw, grid_pos)
-            patch_pos = grid_pos.reshape(1, gh * gw, c.hidden_size)
-        x = x + patch_pos.astype(dt)
-        cls_tok = (cls + pos[:, :1, :]).astype(dt)
-        cls_tok = jnp.broadcast_to(cls_tok, (B, 1, c.hidden_size))
+        rope = None
+        if c.use_rope:
+            # DINOv3: no absolute pos-embed parameter; position enters as
+            # rotary embeddings on q/k in every block (patch tokens only).
+            cos, sin = _rope_cos_sin(
+                gh, gw, c.hidden_size // c.num_heads, c.rope_theta
+            )
+            rope = (cos, sin, 1 + c.num_register_tokens)
+            cls_tok = jnp.broadcast_to(cls.astype(dt), (B, 1, c.hidden_size))
+        else:
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, c.num_patches + 1, c.hidden_size),
+            )
+            # Interpolate position embeddings if the input grid differs from
+            # the config grid (e.g. converted 518px DINO weights run at
+            # 224/512). Separable torch-exact bicubic as two small matmuls:
+            # the resize matrices are computed in numpy at TRACE time
+            # (static shapes), so under jit this is just two einsums - and
+            # it reproduces torch's a=-0.75 antialiased kernel bit-for-bit,
+            # which jax.image.resize (Catmull-Rom a=-0.5) does not.
+            patch_pos = pos[:, 1:, :]
+            # Compare the GRID, not the patch count: a rectangular input
+            # whose gh*gw happens to equal grid^2 (e.g. 28x7 vs 14x14) still
+            # needs the interpolation - adding the square-raster embedding
+            # to a different raster would assign every token the wrong
+            # spatial embedding.
+            if (gh, gw) != (c.grid_size, c.grid_size):
+                g0 = c.grid_size
+                Mh = jnp.asarray(_torch_bicubic_matrix(g0, gh), jnp.float32)
+                Mw = jnp.asarray(_torch_bicubic_matrix(g0, gw), jnp.float32)
+                grid_pos = patch_pos.reshape(g0, g0, c.hidden_size)
+                grid_pos = jnp.einsum("Hh,hwd->Hwd", Mh, grid_pos)
+                grid_pos = jnp.einsum("Ww,hwd->hWd", Mw, grid_pos)
+                patch_pos = grid_pos.reshape(1, gh * gw, c.hidden_size)
+            x = x + patch_pos.astype(dt)
+            cls_tok = (cls + pos[:, :1, :]).astype(dt)
+            cls_tok = jnp.broadcast_to(cls_tok, (B, 1, c.hidden_size))
 
         toks = [cls_tok]
         if c.num_register_tokens > 0:
@@ -246,8 +311,8 @@ class ViTBackbone(nn.Module):
         x = jnp.concatenate(toks, axis=1)
 
         for i in range(c.num_layers):
-            x = Block(c, name=f"block_{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+            x = Block(c, name=f"block_{i}")(x, rope=rope)
+        x = nn.LayerNorm(dtype=jnp.float32, epsilon=c.layer_norm_eps, name="norm")(x)
 
         n_prefix = 1 + c.num_register_tokens
         return {

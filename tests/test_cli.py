@@ -939,3 +939,84 @@ def test_cli_geometric3d_train_then_serve(tmp_path):
         "--summary", str(summary),
     ])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_train_with_dinov3_rope_backbone(tmp_path):
+    """A real (random-init) HF DINOv3ViTModel state dict trains through
+    --backbone-ckpt --rope (RoPE attention, no pos_embed, biasless k) and
+    the trained checkpoint evaluates with ZERO arch flags - use_rope and
+    the 1e-5 LayerNorm eps round-trip through model_config.json. Without
+    --rope the graft must fail loudly pointing at the flag."""
+    import json as _json
+
+    import cv2
+    import torch
+    from transformers.models.dinov3_vit import DINOv3ViTConfig, DINOv3ViTModel
+
+    torch.manual_seed(0)
+    hf_cfg = DINOv3ViTConfig(
+        hidden_size=64, num_hidden_layers=1, num_attention_heads=1,
+        intermediate_size=256, image_size=64, patch_size=16,
+        num_register_tokens=2, layerscale_value=1.0,
+    )
+    sd = {k: v.numpy() for k, v in DINOv3ViTModel(hf_cfg).state_dict().items()}
+    ckpt = tmp_path / "dinov3_tiny.npz"
+    np.savez(ckpt, **sd)
+
+    img_dir = tmp_path / "image"
+    ang_dir = tmp_path / "angle"
+    img_dir.mkdir(), ang_dir.mkdir()
+    r = np.random.default_rng(2)
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"image{i}.jpg"),
+                    r.integers(0, 255, size=(60, 80, 3)).astype(np.uint8))
+        (ang_dir / f"angle{i}.json").write_text(
+            _json.dumps([float(10 * i), -20.0, 30.0, 0.0, 45.0, 0.0]))
+    csv = tmp_path / "m.csv"
+    main(["sync", "meca500", "--base-dirs", str(img_dir), "--joint-dir", str(ang_dir),
+          "--out", str(csv)])
+    conf = tmp_path / "SN.conf"
+    conf.write_text(CONF_TEXT)
+    calib_dir = tmp_path / "calib"
+    main(["calibrate", "intrinsics", "--conf", str(conf), "--serial", "41182735",
+          "--view", "front", "--resolution", "FHD", "--out-dir", str(calib_dir)])
+    summary = tmp_path / "s.json"
+    main(["calibrate", "manual", "--view", "front", "--cam", "leftcam",
+          "--tvec", "0", "-0.01", "0.75", "--rvec-deg", "96", "98", "-45",
+          "--out", str(summary)])
+
+    common = [
+        "train", "--robot", "meca500", "--csv", str(csv),
+        "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+        "--image-hw", "60", "80",
+        "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+        "--patch-size", "16", "--register-tokens", "2",
+        "--backbone-ckpt", str(ckpt),
+        "--batch-size", "2", "--epochs", "1", "--val-split", "0.5", "--no-augment",
+    ]
+    # Without --rope: the init tree has pos_embed, the checkpoint doesn't.
+    with pytest.raises(ValueError, match="--rope"):
+        main(common + ["--workdir", str(tmp_path / "bad")])
+
+    workdir = tmp_path / "run"
+    rc = main(common + ["--rope", "--workdir", str(workdir)])
+    assert rc == 0
+    cfg_json = _json.loads((workdir / "model_config.json").read_text())
+    assert cfg_json["vit"]["use_rope"] is True
+    assert cfg_json["vit"]["layer_norm_eps"] == 1e-5
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "eval", "--robot", "meca500", "--csv", str(csv),
+            "--calib-dir", str(calib_dir), "--aruco-summary", str(summary),
+            "--params", str(workdir / "best_params.npz"),
+            "--image-hw", "60", "80", "--batch-size", "2",
+        ])
+    assert rc == 0
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(report["angle_mae"])

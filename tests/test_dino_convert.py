@@ -271,3 +271,70 @@ def test_torch_bicubic_matrix_matches_torch(antialias):
         got = np.einsum("Hh,bchw->bcHw", M, x)
         got = np.einsum("Ww,bchw->bchW", M, got)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_real_hf_dinov3_rope_activation_parity():
+    """Real HF DINOv3ViTModel (RoPE attention, separate q/k/v/o projections,
+    biasless k, NO pos-embed parameter) converts and reproduces activations
+    through ViTBackbone(use_rope=True) - at the native grid AND at a larger
+    one (RoPE recomputes per grid; nothing to interpolate). This is the
+    actual facebook/dinov3-* architecture the reference loads
+    (MvRoPose_FR3.py:326-353), not the v2-with-registers stand-in."""
+    import torch
+    from transformers.models.dinov3_vit import DINOv3ViTConfig, DINOv3ViTModel
+
+    torch.manual_seed(0)
+    hf_cfg = DINOv3ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=256, image_size=32, patch_size=16,
+        num_register_tokens=2, hidden_act="gelu", attention_dropout=0.0,
+        drop_path_rate=0.0, layerscale_value=1.0,
+    )
+    model_t = DINOv3ViTModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model_t.state_dict().items()}
+    from mvropose_tpu.models.dino_convert import is_dinov3_state_dict
+
+    assert is_dinov3_state_dict(sd)
+    params = convert_dino_state_dict(
+        sd, hf_cfg.num_hidden_layers, hf_cfg.num_attention_heads, hf_cfg.hidden_size
+    )
+    assert "pos_embed" not in params  # RoPE model has no absolute embedding
+    cfg = ViTConfig(
+        image_size=hf_cfg.image_size, patch_size=hf_cfg.patch_size,
+        hidden_size=hf_cfg.hidden_size, num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        num_register_tokens=hf_cfg.num_register_tokens,
+        layerscale_init=1.0, dtype="float32",
+        use_rope=True, rope_theta=hf_cfg.rope_theta,
+        layer_norm_eps=hf_cfg.layer_norm_eps,  # DINOv3 uses 1e-5, not 1e-6
+    )
+    rng = np.random.default_rng(3)
+    for size in (32, 64):  # native 2x2 grid, then 4x4 (rope recomputed)
+        images = rng.normal(size=(2, size, size, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = model_t(
+                torch.from_numpy(images.transpose(0, 3, 1, 2))
+            ).last_hidden_state.numpy()
+        out = ViTBackbone(cfg).apply({"params": params}, jnp.asarray(images))
+        n_prefix = 1 + cfg.num_register_tokens
+        np.testing.assert_allclose(
+            np.asarray(out["cls_token"]), want[:, 0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["register_tokens"]), want[:, 1:n_prefix], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["patch_tokens"]), want[:, n_prefix:], atol=1e-4
+        )
+
+
+def test_dinov3_gated_mlp_rejected():
+    """7B-scale gated-MLP checkpoints fail loudly, not with a KeyError."""
+    from mvropose_tpu.models.dino_convert import convert_dinov3_state_dict
+
+    sd = {
+        "layer.0.attention.q_proj.weight": np.zeros((8, 8), np.float32),
+        "layer.0.mlp.gate_proj.weight": np.zeros((16, 8), np.float32),
+    }
+    with pytest.raises(NotImplementedError, match="gated"):
+        convert_dinov3_state_dict(sd, 1, 1, 8)

@@ -265,3 +265,81 @@ def test_s2d_conv_equivalence():
             np.asarray(conv_s2d(x, w)), np.asarray(conv_ref(x, w)),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_single_view_rejects_geometric3d():
+    """geometric3d is multi-view only; building the query head silently
+    would save a checkpoint whose model_config lies about its params."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, angle_head="geometric3d")
+    model = SingleViewPoseEstimator(cfg)
+    with pytest.raises(ValueError, match="multi-view only"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+
+def test_geometric3d_single_view_sample_stays_bounded(rng):
+    """A group with ONE valid view leaves the DLT rank-deficient - the raw
+    homogeneous solution can reach ~1e12. The head must zero unobservable
+    points so the MLP never sees unbounded inputs (finite angles, moderate
+    magnitude)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, angle_head="geometric3d", max_views=4)
+    model = MultiViewPoseEstimator(cfg)
+    B, V = 2, 4
+    imgs = jnp.asarray(rng.normal(size=(B, V, 64, 64, 3)).astype(np.float32))
+    vids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
+    mask = jnp.zeros((B, V), bool).at[:, 0].set(True)  # ONE valid view each
+    pm = jnp.asarray(rng.normal(size=(B, V, 3, 4)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), imgs, vids, mask, proj_mats=pm)
+    hm, ang = model.apply(variables, imgs, vids, mask, proj_mats=pm)
+    assert np.isfinite(np.asarray(ang)).all()
+    assert float(jnp.abs(ang).max()) < 1e4, float(jnp.abs(ang).max())
+
+
+def test_padded_views_do_not_contaminate_bn_stats(rng):
+    """Zero-image padded view slots must not enter BatchNorm's batch
+    statistics: the stem's stats population should be the sample's REAL
+    images (masked slots hold substituted copies), so a 1-real-view sample
+    padded to V=4 yields the same stem batch stats as the unpadded V=1 run.
+    The old code normalized over the zero frames, shifting train-time stats
+    and the saved running averages with the padding ratio."""
+    model = MultiViewPoseEstimator(TINY)
+    img = jnp.asarray(rng.normal(size=(1, 1, 64, 64, 3)).astype(np.float32))
+
+    def stem_stats(images, vids, mask):
+        variables = model.init(jax.random.PRNGKey(0), images, vids, mask)
+        _, mutated = model.apply(
+            variables, images, vids, mask, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return mutated["batch_stats"]["cnn_stem"]
+
+    stats1 = stem_stats(img, jnp.zeros((1, 1), jnp.int32), jnp.ones((1, 1), bool))
+    padded = jnp.concatenate([img, jnp.zeros((1, 3, 64, 64, 3))], axis=1)
+    vids4 = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    mask4 = jnp.asarray([[True, False, False, False]])
+    stats4 = stem_stats(padded, vids4, mask4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(stats1), jax.tree_util.tree_leaves(stats4)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pos_embed_interpolates_for_rectangular_grid_same_count():
+    """A 32x128 input at patch 16 gives a 2x8 grid - 16 patches, the same
+    COUNT as the config's 4x4 grid. The interpolation gate must compare the
+    grid shape, not the count, or the square-raster pos-embed is added to a
+    rectangular raster with every token mis-embedded (silently)."""
+    model = ViTBackbone(VIT_TINY_TEST)  # image_size 64 / patch 16 -> 4x4
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(params, jnp.zeros((1, 32, 128, 3)))
+    assert out["grid_hw"] == (2, 8)
+    assert out["patch_tokens"].shape == (1, 16, 64)
+    # The pos-embed rows for a CONSTANT image are the only source of token
+    # variation; under correct rectangular interpolation row 0 (y~top) and
+    # row 1 (y~bottom) must differ from a naive square-raster read that
+    # would assign rows 0..3 of the 4x4 grid across the first two tokens.
+    toks = np.asarray(out["patch_tokens"]).reshape(2, 8, -1)
+    assert not np.allclose(toks[0], toks[1])
