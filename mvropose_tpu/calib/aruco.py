@@ -40,8 +40,9 @@ def average_marker_detections(
 
     detections: iterable of {"position_m": {x, y, z},
                              "rotation_quat": {x, y, z, w}} dicts (the raw
-    capture JSON schema). Returns the same schema averaged, or None if fewer
-    than 2 detections survive (the reference requires >= 2,
+    capture JSON schema). Returns the same schema averaged, or None when
+    fewer than 2 RAW detections arrive or no detection survives the outlier
+    gates (a single survivor is returned unaveraged, matching the reference,
     Fr5_preprocessing.py:103).
     """
     if len(detections) < 2:
@@ -165,8 +166,6 @@ def solve_marker_pose_from_corners(
     Meca_insertion_preprocessing.py:211-213) so the recovered tvec is the
     top-left corner, not the marker center. Uses our planar PnP + LM refine;
     returns {"rvec", "tvec", "reproj_error_px"}."""
-    import jax.numpy as jnp
-
     from mvropose_tpu.geometry.pnp import solve_pnp
     from mvropose_tpu.geometry.camera import project_points
 

@@ -82,8 +82,16 @@ class RigSpec:
 
 
 def _load_extrinsic_record(rec: Mapping, rvec_unit: str) -> CameraExtrinsic:
+    """rvec unit resolution: an explicit per-record "rvec_unit" field wins
+    (records written by this framework's calibrate subcommands carry it);
+    otherwise fall back to the robot's declared summary convention
+    (reference-produced files: FR5/Meca summaries store degrees, FR3
+    radians). Without the field, a radian-valued record in a deg-robot
+    summary would be silently shrunk ~57x.
+    """
+    unit = rec.get("rvec_unit", rvec_unit)
     rvec = np.array([rec["rvec_x"], rec["rvec_y"], rec["rvec_z"]], dtype=np.float64)
-    if rvec_unit == "deg":
+    if unit == "deg":
         rvec = np.deg2rad(rvec)
     tvec = np.array([rec["tvec_x"], rec["tvec_y"], rec["tvec_z"]], dtype=np.float64)
     return CameraExtrinsic(rvec=rvec, tvec=tvec)

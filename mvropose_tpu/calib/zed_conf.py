@@ -76,11 +76,24 @@ def load_stereo_params(conf_path: str | Path, resolution: str = "FHD1200") -> di
     if not read:
         raise FileNotFoundError(conf_path)
     s = cfg["STEREO"]
+    # No silent fallbacks for the per-resolution rotation keys: a typo'd
+    # --resolution would otherwise read rx/ry/rz as 0.0 and produce a
+    # pure-translation baseline transform - a plausible-looking but wrong
+    # rightcam extrinsic (the reference aborts with NoOptionError too,
+    # Meca_insertion_preprocessing.py:43-68). TY/TZ genuinely default to 0
+    # in some factory files, so they keep a fallback.
+    for key in (f"RX_{resolution}", f"CV_{resolution}", f"RZ_{resolution}"):
+        if not cfg.has_option("STEREO", key):
+            have = [k for k in s if k.upper().startswith(("RX_", "CV_", "RZ_"))]
+            raise KeyError(
+                f"[STEREO] {key} missing in {conf_path} - wrong --resolution? "
+                f"(file has: {sorted(have)})"
+            )
     return {
         "baseline": s.getfloat("Baseline"),
         "ty": s.getfloat("TY", fallback=0.0),
         "tz": s.getfloat("TZ", fallback=0.0),
-        "rx": s.getfloat(f"RX_{resolution}", fallback=0.0),
-        "ry": s.getfloat(f"CV_{resolution}", fallback=0.0),
-        "rz": s.getfloat(f"RZ_{resolution}", fallback=0.0),
+        "rx": s.getfloat(f"RX_{resolution}"),
+        "ry": s.getfloat(f"CV_{resolution}"),
+        "rz": s.getfloat(f"RZ_{resolution}"),
     }

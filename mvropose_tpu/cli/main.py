@@ -98,6 +98,9 @@ def _cmd_calibrate(args) -> int:
             "cam": args.cam,
             "tvec_x": args.tvec[0], "tvec_y": args.tvec[1], "tvec_z": args.tvec[2],
             "rvec_x": args.rvec_deg[0], "rvec_y": args.rvec_deg[1], "rvec_z": args.rvec_deg[2],
+            # Explicit unit tag: load_rig honors it over the robot's default
+            # summary convention, so mixed-origin summaries stay consistent.
+            "rvec_unit": "deg",
         }
         out = Path(args.out)
         records = json.loads(out.read_text()) if out.exists() else []
@@ -146,6 +149,7 @@ def _cmd_calibrate(args) -> int:
                     "tvec_z": float(pose["tvec"][2]),
                     "rvec_x": float(pose["rvec"][0]), "rvec_y": float(pose["rvec"][1]),
                     "rvec_z": float(pose["rvec"][2]),
+                    "rvec_unit": "rad",  # compute_view_pose outputs radians
                     "n_markers": pose["n_markers"],
                 }
             )
@@ -220,6 +224,7 @@ def _cmd_calibrate(args) -> int:
                     "tvec_z": float(pose["tvec"][2]),
                     "rvec_x": float(pose["rvec"][0]), "rvec_y": float(pose["rvec"][1]),
                     "rvec_z": float(pose["rvec"][2]),
+                    "rvec_unit": "rad",  # compute_view_pose outputs radians
                     "n_markers": pose["n_markers"],
                 }
             )
@@ -250,6 +255,11 @@ def _cmd_calibrate(args) -> int:
                 continue
             stereo = load_stereo_params(conf, args.resolution)
             rvec_l = np.array([rec["rvec_x"], rec["rvec_y"], rec["rvec_z"]])
+            # stereo_right_from_left needs RADIANS; honor the record's
+            # explicit unit tag, else --rvec-unit (reference Meca summaries
+            # store degrees, Meca_insertion_preprocessing.py:303).
+            if rec.get("rvec_unit", args.rvec_unit) == "deg":
+                rvec_l = np.deg2rad(rvec_l)
             tvec_l = np.array([rec["tvec_x"], rec["tvec_y"], rec["tvec_z"]])
             offset = (
                 np.asarray(args.correction_offset, np.float64)
@@ -265,6 +275,7 @@ def _cmd_calibrate(args) -> int:
                     "tvec_z": float(tvec_r[2]),
                     "rvec_x": float(rvec_r[0]), "rvec_y": float(rvec_r[1]),
                     "rvec_z": float(rvec_r[2]),
+                    "rvec_unit": "rad",
                     "derived_from": "stereo_baseline",
                 }
             )
@@ -1265,7 +1276,9 @@ def _cmd_serve(args) -> int:
                     fb_r.append(np.zeros(3)); fb_t.append(np.zeros(3)); fb_v.append(False)
                     continue
                 rv = np.array([rec["rvec_x"], rec["rvec_y"], rec["rvec_z"]])
-                if robot.extrinsic_rvec_unit == "deg":
+                # Per-record unit tag wins over the robot's convention (same
+                # resolution rule as calib/registry._load_extrinsic_record).
+                if rec.get("rvec_unit", robot.extrinsic_rvec_unit) == "deg":
                     rv = np.deg2rad(rv)
                 fb_r.append(rv)
                 fb_t.append(np.array([rec["tvec_x"], rec["tvec_y"], rec["tvec_z"]]))
@@ -1669,6 +1682,10 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--serial-map", required=True, help="JSON {view: serial}")
     cs.add_argument("--conf-dir", required=True)
     cs.add_argument("--resolution", default="FHD1200")
+    cs.add_argument("--rvec-unit", choices=["rad", "deg"], default="rad",
+                    help="unit of untagged source records (reference Meca "
+                         "summaries store degrees; records written by this "
+                         "CLI carry an explicit rvec_unit tag)")
     cs.add_argument("--correction-offset", type=float, nargs=3, default=None,
                     help="manual tvec correction added to the derived rightcam pose "
                          "(reference RIGHT_CAM_CORRECTION_OFFSET = -0.025 0 0)")

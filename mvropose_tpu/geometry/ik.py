@@ -60,5 +60,11 @@ def solve_ik(
         return angles - delta, None
 
     angles, _ = jax.lax.scan(step, jnp.asarray(initial_angles, jnp.float32), None, length=iters)
-    rmse = jnp.sqrt(jnp.mean(residuals(angles) ** 2))
+    # RMSE over the FITTED residuals only: zero-weight keypoints contribute
+    # identically-zero residual entries, and averaging them in understates
+    # the true per-keypoint error (e.g. by sqrt(2) with half the keypoints
+    # masked) - a caller gating on 'rmse < tol' would accept bad solutions.
+    r = residuals(angles)
+    wsum = jnp.sum(w > 0)
+    rmse = jnp.sqrt(jnp.sum(r**2) / jnp.maximum(wsum, 1))
     return angles, rmse

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mvropose_tpu.geometry.camera import project_points
-from mvropose_tpu.geometry.rotations import matrix_to_rodrigues
+from mvropose_tpu.geometry.rotations import matrix_to_rodrigues, rodrigues_to_matrix
 
 
 def _normalize_2d(pts: jnp.ndarray, weights: jnp.ndarray):
@@ -194,16 +194,27 @@ def solve_pnp_planar(
     Rw1 = Rp_adj @ Q.T
     tw1 = t_h - Rw1 @ c
 
-    # Second planar solution: reflect the viewing geometry about the plane.
-    # (Approximation of IPPE's second root; the scorer disambiguates.)
-    refl = jnp.eye(3, dtype=M.dtype) - 2.0 * jnp.outer(n, n)
-    Rw2_raw = Rw1 @ refl
-    # Re-properize (reflection flips handedness).
-    Ur, _, Vtr = jnp.linalg.svd(Rw2_raw)
-    Dr = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=M.dtype)).at[2, 2].set(
-        jnp.linalg.det(Ur @ Vtr)
-    )
-    Rw2 = Ur @ Dr @ Vtr
+    # Second planar solution (the classic two-fold perspective ambiguity,
+    # Schweighofer & Pinz / IPPE's second root): the alternative
+    # interpretation's plane normal is the REFLECTION of the first one's
+    # across the viewing ray to the plane origin. Construct it as a proper
+    # rotation of the camera-from-plane frame - NOT by composing with a
+    # plane reflection (I - 2nn^T fixes every in-plane point, so that
+    # "root" projected identically to root 1 and its SVD re-properization
+    # returned an arbitrary flip).
+    v = t_h / (jnp.linalg.norm(t_h) + 1e-12)  # ray to plane origin (camera)
+    n_cam = Rp[:, 2]  # plane normal, camera frame
+    axis = jnp.cross(n_cam, v)
+    s_ax = jnp.linalg.norm(axis)
+    theta = jnp.arctan2(s_ax, jnp.dot(n_cam, v))
+    # Rotate the plane frame by 2*theta about (n x v): the normal lands on
+    # the other side of the ray. Fronto-parallel (axis ~ 0): the two roots
+    # coincide - fall back to root 1's rotation.
+    safe_axis = jnp.where(s_ax > 1e-8, axis / (s_ax + 1e-12), jnp.zeros(3))
+    G = rodrigues_to_matrix(safe_axis * (2.0 * theta))
+    Rp2 = jnp.where(s_ax > 1e-8, G @ Rp, Rp)
+    Rp2_adj = Rp2.at[:, 2].multiply(detQ)
+    Rw2 = Rp2_adj @ Q.T
     tw2 = t_h - Rw2 @ c
 
     return (

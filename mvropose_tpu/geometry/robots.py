@@ -60,27 +60,32 @@ class RobotSpec:
     # heatmap channel k with FK origin keypoint_fk_indices[k]
     # (sync/DREAM_sync.py:18 names vs MvRoPose_FR3.py FK). None = identity.
     keypoint_fk_indices: Tuple[int, ...] | None = None
+    # Trailing dh_params rows with NO actuated joint (theta = offset only):
+    # fixed links like the franka flange (d=0.107 after joint 7) that carry a
+    # keypoint frame but consume no angle. FK takes n_joints angles and still
+    # emits an origin per row.
+    n_passive_rows: int = 0
 
     def __hash__(self):
         # Explicit hash (the dict field defeats the frozen-dataclass default)
         # so a RobotSpec can be a jit static argument.
         return hash(
             (self.name, self.convention, self.dh_params, self.angle_unit,
-             self.keypoint_fk_indices)
+             self.keypoint_fk_indices, self.n_passive_rows)
         )
 
     @property
     def n_joints(self) -> int:
-        return len(self.dh_params)
+        return len(self.dh_params) - self.n_passive_rows
 
     @property
     def n_keypoints(self) -> int:
         if self.keypoint_fk_indices is not None:
             return len(self.keypoint_fk_indices)
-        return self.n_joints + 1
+        return len(self.dh_params) + 1
 
     def keypoints_from_fk(self, fk_points: jnp.ndarray) -> jnp.ndarray:
-        """Select the keypoint set from FK chain origins (..., n_joints+1, 3)."""
+        """Select the keypoint set from FK chain origins (..., rows+1, 3)."""
         if self.keypoint_fk_indices is None:
             return fk_points
         return fk_points[..., jnp.asarray(self.keypoint_fk_indices), :]
@@ -168,7 +173,20 @@ DREAM_PANDA = dataclasses.replace(
     FR3,
     name="dream_panda",
     view_base_rotations_zyx_deg={},
-    keypoint_fk_indices=(0, 2, 3, 4, 5, 6, 7),
+    # The franka FLANGE row (passive, d=0.107 after joint 7): DREAM's
+    # panda_hand keypoint sits at the flange/hand frame origin, 10.7 cm
+    # beyond the link7 origin - without this row the chain has no origin
+    # there at all. URDF frame <-> chain-origin assignment (verified against
+    # the zero-config URDF origins, test_dream_panda_urdf_origins):
+    #   panda_link0->o0, link2->o2, link3->o3, link4->o4, link6->o6,
+    #   link7->o7, hand->o8(flange). An earlier mapping used (...,5,6,7),
+    #   which put link7 at the link6 origin (8.8 cm off) and hand at the
+    #   link7 origin (10.7 cm off) for REAL DREAM data; the synthetic
+    #   harness was self-consistent either way (it generates keypoints from
+    #   this same spec).
+    dh_params=FR3.dh_params + ((0.0, 0.107, 0.0, 0.0),),
+    n_passive_rows=1,
+    keypoint_fk_indices=(0, 2, 3, 4, 6, 7, 8),
     links=((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)),
 )
 
@@ -207,6 +225,12 @@ def forward_kinematics(
     angles = jnp.asarray(joint_angles, dtype=jnp.float32)
     if spec.angle_unit == "deg":
         angles = jnp.deg2rad(angles)
+    if spec.n_passive_rows:
+        # Fixed trailing links (e.g. the franka flange): no actuated angle,
+        # theta is the row's offset alone.
+        angles = jnp.concatenate(
+            [angles, jnp.zeros((spec.n_passive_rows,), angles.dtype)], axis=-1
+        )
     theta = angles + theta_off
 
     T0 = jnp.eye(4, dtype=jnp.float32)
@@ -242,6 +266,12 @@ def forward_kinematics_frames(
     angles = jnp.asarray(joint_angles, dtype=jnp.float32)
     if spec.angle_unit == "deg":
         angles = jnp.deg2rad(angles)
+    if spec.n_passive_rows:
+        # Fixed trailing links (e.g. the franka flange): no actuated angle,
+        # theta is the row's offset alone.
+        angles = jnp.concatenate(
+            [angles, jnp.zeros((spec.n_passive_rows,), angles.dtype)], axis=-1
+        )
     theta = angles + theta_off
 
     T0 = jnp.eye(4, dtype=jnp.float32)

@@ -23,7 +23,7 @@ def rodrigues_to_matrix(rvec: jnp.ndarray) -> jnp.ndarray:
     Uses the Rodrigues formula with a Taylor-safe branch at theta ~ 0 so the
     function stays differentiable everywhere.
     """
-    rvec = jnp.asarray(rvec, dtype=jnp.float64) if rvec.dtype == jnp.float64 else jnp.asarray(rvec)
+    rvec = jnp.asarray(rvec)  # accepts array-likes, like cv2.Rodrigues
     theta2 = jnp.sum(rvec * rvec)
     theta = jnp.sqrt(theta2 + _EPS)
     # sin(t)/t and (1-cos(t))/t^2 with small-angle Taylor fallbacks.

@@ -290,3 +290,24 @@ def test_load_dream_rig(tmp_path):
     assert rig.calibs["panda-3cam_azure_leftcam"].camera_matrix[0, 0] == 600.0
     assert rig.calibs["panda-orb_leftcam"].camera_matrix[0, 0] == 500.0
     assert rig.robot.name == "dream_panda"
+
+
+def test_extrinsic_record_unit_tag_wins_over_robot_convention():
+    """Summaries can mix origins: reference files store the robot's
+    conventional unit (FR5/Meca degrees) with NO tag, while this CLI's
+    calibrate extrinsics/corners/stereo-transfer write RADIANS with an
+    explicit rvec_unit tag. The loader must honor the tag - otherwise a
+    radian record in a deg-robot summary is silently shrunk ~57x."""
+    from mvropose_tpu.calib.registry import _load_extrinsic_record
+
+    base = {"tvec_x": 0.0, "tvec_y": 0.0, "tvec_z": 1.0,
+            "rvec_x": 90.0, "rvec_y": 0.0, "rvec_z": 0.0}
+    # Untagged record in a deg-robot summary: reference convention applies.
+    ex = _load_extrinsic_record(base, "deg")
+    np.testing.assert_allclose(ex.rvec[0], np.pi / 2, rtol=1e-6)
+    # Tagged radian record in the SAME deg-robot summary: tag wins.
+    ex = _load_extrinsic_record({**base, "rvec_x": 1.5, "rvec_unit": "rad"}, "deg")
+    np.testing.assert_allclose(ex.rvec[0], 1.5, rtol=1e-6)
+    # Tagged deg record for a rad robot: tag wins the other way too.
+    ex = _load_extrinsic_record({**base, "rvec_unit": "deg"}, "rad")
+    np.testing.assert_allclose(ex.rvec[0], np.pi / 2, rtol=1e-6)

@@ -130,3 +130,27 @@ def test_fk_angle_unit_consistency():
         forward_kinematics(meca_rad, jnp.asarray(np.deg2rad(deg), jnp.float32))
     )
     np.testing.assert_allclose(out_meca, out_rad, atol=1e-5)
+
+
+def test_dream_panda_urdf_origins():
+    """DREAM's 7 named keypoints sit at the URDF link-frame origins; pin the
+    zero-config positions from the franka kinematics (flange d=0.107 after
+    joint 7). An earlier mapping had panda_link7 at the link6 origin
+    (8.8 cm off) and panda_hand at the link7 origin (10.7 cm off) - wrong
+    object points for every PnP solve against real DREAM data."""
+    from mvropose_tpu.geometry.robots import DREAM_PANDA, forward_kinematics
+
+    assert DREAM_PANDA.n_joints == 7  # flange row is passive, consumes no angle
+    kp = np.asarray(
+        DREAM_PANDA.keypoints_from_fk(forward_kinematics(DREAM_PANDA, jnp.zeros(7)))
+    )
+    want = np.array([
+        [0.0, 0.0, 0.0],        # panda_link0
+        [0.0, 0.0, 0.333],      # panda_link2
+        [0.0, 0.0, 0.649],      # panda_link3
+        [0.0825, 0.0, 0.649],   # panda_link4
+        [0.0, 0.0, 1.033],      # panda_link6
+        [0.088, 0.0, 1.033],    # panda_link7
+        [0.088, 0.0, 0.926],    # panda_hand (flange)
+    ], np.float32)
+    np.testing.assert_allclose(kp, want, atol=1e-6)

@@ -200,3 +200,48 @@ def test_refine_lm_respects_zero_weights(rng):
     )
     ang, trans = pose_errors(rvec, tvec, rvec_gt, tvec_gt)
     assert ang < 0.2 and trans < 5e-3
+
+
+def test_planar_second_root_is_genuine_alternative():
+    """The planar two-fold ambiguity: root 2 must be a DISTINCT proper
+    rotation whose plane normal (camera frame) is the reflection of root 1's
+    across the viewing ray to the plane origin. The old construction
+    composed root 1 with a plane reflection - which fixes every in-plane
+    point, so its projections were identical to root 1 and the SVD
+    re-properization returned an arbitrary 180-degree flip."""
+    from mvropose_tpu.geometry.pnp import solve_pnp_planar
+    from mvropose_tpu.geometry.rotations import rodrigues_to_matrix
+
+    rng = np.random.default_rng(7)
+    # Planar object (z=0), tilted true pose.
+    obj = np.concatenate(
+        [rng.uniform(-0.2, 0.2, size=(8, 2)), np.zeros((8, 1))], axis=1
+    ).astype(np.float32)
+    rv_true = jnp.asarray([0.6, -0.3, 0.2])
+    tv_true = jnp.asarray([0.05, -0.02, 0.9])
+    K = jnp.asarray([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    img = project_points(jnp.asarray(obj), rv_true, tv_true, K, None)
+
+    (rv1, tv1), (rv2, tv2) = solve_pnp_planar(jnp.asarray(obj), img, K)
+    R1 = np.asarray(rodrigues_to_matrix(rv1))
+    R2 = np.asarray(rodrigues_to_matrix(rv2))
+    # Both proper rotations.
+    for R in (R1, R2):
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) > 0.99
+    # Root 1 recovers the exact pose on exact data.
+    Rt = np.asarray(rodrigues_to_matrix(rv_true))
+    ang1 = np.degrees(np.arccos(np.clip((np.trace(R1 @ Rt.T) - 1) / 2, -1, 1)))
+    assert ang1 < 1.0, ang1
+    # Root 2 is genuinely different (tilted plane -> the folds are distinct)...
+    ang12 = np.degrees(np.arccos(np.clip((np.trace(R1 @ R2.T) - 1) / 2, -1, 1)))
+    assert ang12 > 10.0, ang12
+    # ...and its camera-frame plane normal is root 1's reflected across the
+    # viewing ray to the plane origin.
+    n_obj = np.array([0.0, 0.0, 1.0])
+    n1 = R1 @ n_obj
+    n2 = R2 @ n_obj
+    v = np.asarray(tv1) / np.linalg.norm(np.asarray(tv1))
+    n1_reflected = 2.0 * np.dot(n1, v) * v - n1
+    align = abs(float(np.dot(n2, n1_reflected)))
+    assert align > 0.99, align
