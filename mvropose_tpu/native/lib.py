@@ -45,7 +45,13 @@ def _build() -> bool:
 def load_native() -> ctypes.CDLL | None:
     with _build_lock:
         if not _SO.exists() or (_SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime):
-            if not _build():
+            if not _build() and not _SO.exists():
+                # No toolchain AND no prior artifact - genuinely unavailable.
+                # (A failed REbuild with a stale-but-loadable .so on disk
+                # falls through and loads it: git checkouts don't preserve
+                # mtimes, so 'source newer than .so' happens on fresh clones
+                # with no compiler, and refusing would disable the native
+                # path a usable artifact could serve.)
                 return None
         try:
             lib = ctypes.CDLL(str(_SO))
@@ -89,12 +95,12 @@ def match_nearest_native(query, ref, tolerance_s: float):
     lib = load_native()
     query = np.ascontiguousarray(query, dtype=np.float64)
     ref = np.ascontiguousarray(ref, dtype=np.float64)
-    idx = np.zeros(len(query), np.int64)
-    valid = np.zeros(len(query), np.uint8)
     if lib is None:
         from mvropose_tpu.data.sync import match_nearest
 
         return match_nearest(query, ref, tolerance_s)
+    idx = np.zeros(len(query), np.int64)
+    valid = np.zeros(len(query), np.uint8)
     lib.match_nearest_f64(
         query.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(query),
         ref.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ref),
@@ -111,13 +117,13 @@ def render_heatmaps_native(keypoints, height: int, width: int, sigma: float):
     kp = np.ascontiguousarray(keypoints, dtype=np.float32)
     lead = kp.shape[:-1]
     flat = kp.reshape(-1, 2)
-    out = np.zeros((flat.shape[0], height, width), np.float32)
     if lib is None:
         import jax.numpy as jnp
 
         from mvropose_tpu.geometry.heatmap import render_heatmaps
 
         return np.asarray(render_heatmaps(jnp.asarray(kp), height, width, sigma))
+    out = np.zeros((flat.shape[0], height, width), np.float32)
     lib.render_heatmaps_f32(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), flat.shape[0],
         height, width, sigma,
@@ -157,9 +163,16 @@ class FrameRing:
             ctypes.byref(ts),
             max_retries,
         )
-        if n <= 0:
+        if n == -1 or (n > 0 and n != out.nbytes):
+            # The producer published a different frame size than this reader
+            # expects - a rig misconfiguration, not an empty ring; surfacing
+            # it as None would read as "no frame" forever.
+            raise BufferError(
+                f"FrameRing size mismatch: published {n} bytes, reader "
+                f"expects {out.nbytes} (shape {tuple(shape)})"
+            )
+        if n <= 0:  # 0 = nothing published yet, -2 = contended past retries
             return None
-        assert n == out.nbytes, f"frame size mismatch: {n} vs {out.nbytes}"
         return out, ts.value
 
     @property

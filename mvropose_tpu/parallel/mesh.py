@@ -22,8 +22,6 @@ def initialize_distributed(
     equivalent (reference DREAM_Train.py:675-680) with no per-rank user code.
     Call once, before any jax computation.
     """
-    import jax
-
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -48,6 +46,12 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
+        if n % n_model != 0:
+            raise ValueError(
+                f"{n} devices do not divide evenly by n_model={n_model}; "
+                f"{n % n_model} device(s) would sit silently idle - pass "
+                "n_data explicitly to accept a partial mesh"
+            )
         n_data = n // n_model
     assert n_data * n_model <= n, f"mesh {n_data}x{n_model} > {n} devices"
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)

@@ -30,13 +30,20 @@ class MetricWriter:
                 self._wandb = None
 
     def write(self, step: int, metrics: Mapping[str, float]) -> None:
+        import numpy as np
+
         rec = {"step": int(step), "time": time.time()}
         # Scalars become floats; small vectors (e.g. per-joint MAE) stay as
-        # JSON lists.
-        rec.update({
-            k: [float(x) for x in v] if isinstance(v, (list, tuple)) else float(v)
-            for k, v in metrics.items()
-        })
+        # JSON lists - including numpy/jax arrays, which are neither list
+        # nor tuple (float(ndarray) raises for any length > 1).
+        def _jsonable(v):
+            if isinstance(v, (list, tuple)):
+                return [float(x) for x in v]
+            if np.ndim(v) > 0:
+                return np.asarray(v, dtype=np.float64).reshape(-1).tolist()
+            return float(v)
+
+        rec.update({k: _jsonable(v) for k, v in metrics.items()})
         self._file.write(json.dumps(rec) + "\n")
         self._file.flush()
         if self._wandb is not None:
@@ -52,7 +59,11 @@ class MetricWriter:
         try:
             import cv2
 
-            cv2.imwrite(str(path), np.asarray(image)[:, :, ::-1])
+            # cv2.imwrite signals failure by RETURNING False (bad path,
+            # full disk) - without the check the artifact silently
+            # disappears and the .npy fallback never runs.
+            if not cv2.imwrite(str(path), np.asarray(image)[:, :, ::-1]):
+                raise IOError(f"cv2.imwrite failed for {path}")
         except Exception:
             np.save(str(path.with_suffix(".npy")), np.asarray(image))
         if self._wandb is not None:

@@ -116,8 +116,14 @@ int frame_ring_write(void* ring, const uint8_t* src, int64_t size, double timest
   auto* r = static_cast<FrameRing*>(ring);
   if (size > r->capacity) return -1;
   uint64_t s = r->seq.load(std::memory_order_relaxed);
-  r->seq.store(s + 1, std::memory_order_release);  // odd: write in progress
-  std::atomic_thread_fence(std::memory_order_acquire);
+  r->seq.store(s + 1, std::memory_order_relaxed);  // odd: write in progress
+  // #StoreStore: the odd seq must become visible BEFORE any data byte (an
+  // acquire fence here orders loads, not stores - on weakly-ordered CPUs
+  // the data writes could pass the odd store and a reader could validate a
+  // torn frame; x86 TSO masked this). A release fence lowers to a
+  // store-store barrier (dmb ishst on aarch64) between the seq store and
+  // the subsequent plain data stores.
+  std::atomic_thread_fence(std::memory_order_release);
   std::memcpy(r->data, src, size);
   r->size = size;
   r->timestamp = timestamp;
@@ -137,7 +143,15 @@ int64_t frame_ring_read(void* ring, uint8_t* dst, int64_t dst_capacity,
     if (s0 & 1) continue;        // write in progress
     int64_t size = r->size;
     double ts = r->timestamp;
-    if (size > dst_capacity) return -1;
+    if (size > dst_capacity) {
+      // r->size was read mid-race; only report "too small" if the frame is
+      // STABLE (seq unchanged) - otherwise retry, the size belonged to a
+      // write in flight.
+      std::atomic_thread_fence(std::memory_order_acquire);
+      if (r->seq.load(std::memory_order_acquire) == s0) return -1;
+      continue;
+    }
+    if (size < 0 || size > r->capacity) continue;  // torn size, retry
     std::memcpy(dst, r->data, size);
     std::atomic_thread_fence(std::memory_order_acquire);
     uint64_t s1 = r->seq.load(std::memory_order_acquire);

@@ -114,3 +114,22 @@ def test_packaged_native_source_in_sync():
     assert nlib._SRC.exists()
     if pkg_copy.exists() and repo_src.exists():
         assert pkg_copy.read_bytes() == repo_src.read_bytes()
+
+
+def test_frame_ring_size_mismatch_is_loud():
+    """A producer publishing a different frame size than the reader expects
+    is a rig misconfiguration - it must raise, not read as an eternally
+    empty ring (None)."""
+    import pytest
+
+    from mvropose_tpu.native.lib import FrameRing, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    ring = FrameRing(64 * 64 * 3)
+    ring.write(np.zeros((32, 32, 3), np.uint8), 1.0)
+    with pytest.raises(BufferError, match="size mismatch"):
+        ring.read((64, 64, 3))
+    # Matching shape reads fine.
+    out = ring.read((32, 32, 3))
+    assert out is not None and out[0].shape == (32, 32, 3)

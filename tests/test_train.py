@@ -450,3 +450,14 @@ def test_fk_loss_missing_fields_is_hard_error(rng):
     step = make_single_view_train_step(cfg, robot=MECA500)
     with pytest.raises(ValueError, match="lacks"):
         step(state, batch, jax.random.PRNGKey(1))
+
+
+def test_make_mesh_rejects_indivisible_model_axis():
+    """8 devices / n_model=3 used to build a silent 2x3 mesh leaving two
+    devices idle; the default path must refuse instead."""
+    from mvropose_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="idle"):
+        make_mesh(n_model=3)
+    m = make_mesh(n_data=2, n_model=3)  # explicit partial mesh is allowed
+    assert m.shape == {"data": 2, "model": 3}

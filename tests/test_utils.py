@@ -69,3 +69,17 @@ def test_prediction_panels(rng):
     )
     assert mv.shape == (64, 64 * 4, 3)  # only the masked-in view
     assert denormalize(img).dtype == np.uint8
+
+
+def test_metric_writer_accepts_numpy_vectors(tmp_path):
+    """Per-joint metrics arrive as numpy/jax arrays; float(ndarray) raises
+    for length > 1, killing the train loop at the LOGGING call."""
+    import json
+
+    from mvropose_tpu.utils.metrics_writer import MetricWriter
+
+    w = MetricWriter(tmp_path)
+    w.write(3, {"loss": 0.5, "per_joint": np.array([0.1, 0.2, 0.3])})
+    w.close()
+    rec = json.loads((tmp_path / "metrics.jsonl").read_text().strip())
+    assert rec["per_joint"] == [0.1, 0.2, 0.3]
