@@ -90,11 +90,16 @@ def main() -> None:
     peak = peak_flops(jax.devices()[0])
 
     def run_chain(n):
-        """n chained steps ending in a scalar fetch; returns wall seconds."""
+        """n chained steps ending in a scalar fetch; returns wall seconds.
+
+        Calls the AOT `compiled` executable directly (same pattern as
+        bench_train.bench_step) - re-invoking the jitted serve_step would
+        re-trace and re-compile the identical program the cost-analysis
+        lowering already built."""
         eps = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
-            xy, conf, angles = serve_step(variables, images, view_ids, view_mask, eps)
+            xy, conf, angles = compiled(variables, images, view_ids, view_mask, eps)
             eps = jnp.reshape(conf, (-1,))[0] * 1e-12  # tiny but nonzero: no constant folding
         float(jax.device_get(eps))  # forces the whole chain
         return time.perf_counter() - t0

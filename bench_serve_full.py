@@ -129,7 +129,12 @@ def main() -> None:
         float(jax.device_get(dev_zero))
     rt = (time.perf_counter() - t0) / 5
 
-    # H2D: device_put + 1-element fetch, minus the round-trip.
+    # H2D: device_put + 1-element fetch, minus the round-trip. Warm the
+    # tiny reshape/index program OUTSIDE the timed loop - its first-call
+    # trace+compile would otherwise be averaged into t_h2d (and sub-second
+    # compiles never enter the persistent cache, so every run would pay it).
+    arr = jax.device_put(frames)
+    float(jax.device_get(jnp.reshape(arr, (-1,))[0]))
     t0 = time.perf_counter()
     for _ in range(10):
         arr = jax.device_put(frames)
@@ -224,6 +229,10 @@ def main() -> None:
         pipe.start()
         try:
             pipe.tick(); pipe.tick()  # warm
+            if overlapped:
+                pipe.drain()  # don't carry a pre-measurement dispatch into
+                # the timed window (run() resets stats, not _pending - the
+                # first measured fetch would belong to a warm-up tick)
             stats = pipe.run(max_ticks=ticks)
             return {
                 "ticks_per_sec": round(stats.fps, 2),

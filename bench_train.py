@@ -107,15 +107,25 @@ def main() -> None:
     results = []
 
     def run(name, model, batch, single: bool, n_items: int, iters=10):
+        # Never compile a model.init program on the TPU: the remote compile
+        # of a full init graph costs minutes and contributes nothing to a
+        # throughput benchmark (same pattern as bench.py) - eval_shape the
+        # init, then materialize random values in one device program.
+        from mvropose_tpu.utils.initializers import random_variables
+
         key = jax.random.PRNGKey(0)
         if single:
-            variables = model.init(key, batch["images"][:1])
+            shapes = jax.eval_shape(lambda k: model.init(k, batch["images"][:1]), key)
             step = make_single_view_train_step(TrainConfig())
         else:
-            variables = model.init(
-                key, batch["images"][:1], batch["view_ids"][:1], batch["view_mask"][:1]
+            shapes = jax.eval_shape(
+                lambda k: model.init(
+                    k, batch["images"][:1], batch["view_ids"][:1], batch["view_mask"][:1]
+                ),
+                key,
             )
             step = make_multi_view_train_step(TrainConfig())
+        variables = random_variables(shapes)
         state = create_train_state(model, variables, TrainConfig())
         dt, flops, loss = bench_step(step, state, batch, jax.random.PRNGKey(1), iters)
         rec = {

@@ -48,15 +48,20 @@ def keypoint_panel(
 
     def scale(xy):
         if hm_hw is None:
-            return xy
-        return xy * np.array([w / hm_hw[1], h / hm_hw[0]])
+            return np.asarray(xy, np.float64)
+        # The canonical heatmap->image rescale (one convention repo-wide).
+        from mvropose_tpu.geometry.heatmap import scale_keypoints
+
+        return np.asarray(scale_keypoints(np.asarray(xy), hm_hw, (h, w)))
 
     if gt_xy is not None:
-        for x, y in scale(np.asarray(gt_xy)):
-            cv2.circle(out, (int(x), int(y)), 4, (0, 255, 0), -1)
+        for x, y in scale(gt_xy):
+            if np.isfinite(x) and np.isfinite(y):  # skip unlabeled joints
+                cv2.circle(out, (int(x), int(y)), 4, (0, 255, 0), -1)
     if pred_xy is not None:
-        for x, y in scale(np.asarray(pred_xy)):
-            cv2.drawMarker(out, (int(x), int(y)), (255, 0, 0), cv2.MARKER_CROSS, 9, 2)
+        for x, y in scale(pred_xy):
+            if np.isfinite(x) and np.isfinite(y):
+                cv2.drawMarker(out, (int(x), int(y)), (255, 0, 0), cv2.MARKER_CROSS, 9, 2)
     return out
 
 
