@@ -42,15 +42,19 @@ def group_by_time_tolerance(
     groups: list[dict] = []
     start_i = 0
     ts = df[ts_col].values
+    # Pull columns once: per-row df.iloc materializes a Series per element,
+    # ~50x slower at the DREAM scale of 44k rows (same convention as
+    # builders.py).
+    paths = df["image_path"].tolist()
+    angles = df[list(angle_cols)].to_numpy(dtype=float)
     for i in range(1, len(df) + 1):
         if i == len(df) or ts[i] - ts[start_i] > tolerance_s or i - start_i >= max_views:
-            first = df.iloc[start_i]
             groups.append(
                 {
                     "views": [
-                        {"image_path": df.iloc[j]["image_path"]} for j in range(start_i, i)
+                        {"image_path": paths[j]} for j in range(start_i, i)
                     ],
-                    "joint_angles": [float(first[c]) for c in angle_cols],
+                    "joint_angles": angles[start_i].tolist(),
                     "timestamp": float(ts[start_i]),
                 }
             )

@@ -58,7 +58,10 @@ def _look_at(camera_center: np.ndarray, target: np.ndarray) -> np.ndarray:
     `target`, OpenCV convention (+z forward, +y down)."""
     fwd = target - camera_center
     fwd = fwd / np.linalg.norm(fwd)
-    up_hint = np.array([0.0, 0.0, -1.0])
+    # World up is +z; camera +y (row 1) must point world-DOWN for an upright
+    # OpenCV image. up_hint=world-up yields right = fwd x up pointing to the
+    # camera's left-to-right and down = fwd x right toward -z as required.
+    up_hint = np.array([0.0, 0.0, 1.0])
     if abs(np.dot(fwd, up_hint)) > 0.99:  # looking straight down/up
         up_hint = np.array([0.0, -1.0, 0.0])
     right = np.cross(fwd, up_hint)

@@ -85,8 +85,12 @@ def main() -> None:
     K, rvecs, tvecs = rig_tuple(rig)
     projs = heatmap_projection_matrices(rvecs, tvecs, K, (S, S), (hm, hm))
 
-    def features(key, n):
-        """angles + the three exact featurizations, all on device."""
+    def features(key, n, variant):
+        """angles + the requested exact featurization, all on device.
+
+        Featurization is gated per variant so the '2d' and 'fk3d' bounds do
+        not pay the per-keypoint SVD triangulation cost they never use.
+        """
         k_ang, k_noise = jax.random.split(key)
         angles = jax.random.uniform(
             k_ang, (n, robot.n_joints), minval=-half, maxval=half
@@ -104,16 +108,19 @@ def main() -> None:
             kp2d_hm = kp2d_hm + args.noise_px * jax.random.normal(
                 k_noise, kp2d_hm.shape
             )
-        w = jnp.ones(kp2d_hm.shape[:-1], jnp.float32)
-        tri = jax.vmap(lambda xy, wt: triangulate_keypoints(xy, projs, wt))(kp2d_hm, w)
-        feats = {
-            "2d": kp2d_hm.reshape(n, -1) / hm,  # normalized, like the head
-            "tri3d": jnp.concatenate(
+        if variant == "2d":
+            feat = kp2d_hm.reshape(n, -1) / hm  # normalized, like the head
+        elif variant == "tri3d":
+            w = jnp.ones(kp2d_hm.shape[:-1], jnp.float32)
+            tri = jax.vmap(lambda xy, wt: triangulate_keypoints(xy, projs, wt))(
+                kp2d_hm, w
+            )
+            feat = jnp.concatenate(
                 [kp2d_hm.reshape(n, -1) / hm, tri.reshape(n, -1)], axis=-1
-            ),
-            "fk3d": kp3d.reshape(n, -1),
-        }
-        return angles, feats
+            )
+        else:  # fk3d
+            feat = kp3d.reshape(n, -1)
+        return angles, feat
 
     class MLP(nn.Module):
         @nn.compact
@@ -122,12 +129,12 @@ def main() -> None:
                 x = nn.gelu(nn.Dense(args.hidden, name=f"fc{i}")(x))
             return nn.Dense(robot.n_joints, name="out")(x)
 
-    features_j = jax.jit(features, static_argnums=(1,))
+    features_j = jax.jit(features, static_argnums=(1, 2))
     results = {}
     for variant in ("2d", "tri3d", "fk3d"):
         model = MLP()
-        a0, f0 = features_j(jax.random.PRNGKey(0), 8)
-        params = model.init(jax.random.PRNGKey(1), f0[variant])
+        a0, f0 = features_j(jax.random.PRNGKey(0), 8, variant)
+        params = model.init(jax.random.PRNGKey(1), f0)
         tx = optax.adam(args.lr)
         opt = tx.init(params)
 
@@ -144,10 +151,10 @@ def main() -> None:
         key = jax.random.PRNGKey(7)
         for i in range(args.steps):
             key, bk = jax.random.split(key)
-            ang, fts = features_j(bk, args.batch)
-            params, opt, l = step(params, opt, fts[variant], ang)
-        ang_te, fts_te = features_j(jax.random.PRNGKey(999_999), 2048)  # held out
-        pred = model.apply(params, fts_te[variant])
+            ang, fts = features_j(bk, args.batch, variant)
+            params, opt, l = step(params, opt, fts, ang)
+        ang_te, fts_te = features_j(jax.random.PRNGKey(999_999), 2048, variant)  # held out
+        pred = model.apply(params, fts_te)
         mae = np.asarray(jnp.mean(jnp.abs(pred - ang_te), axis=0)) * to_deg
         results[variant] = {
             "per_joint_mae_deg": mae.round(2).tolist(),

@@ -36,6 +36,7 @@ import numpy as np
 
 
 def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str = "query",
+                n_views: int = 4,
                 freeze_backbone: bool = False, with_layerscale: bool = False,
                 extra_keypoints: int = 0):
     from mvropose_tpu.models import (
@@ -61,7 +62,9 @@ def build_model(mode: str, robot, image_size: int, on_tpu: bool, angle_head: str
         num_joints=robot.n_keypoints + extra_keypoints,
         num_angles=robot.n_joints,
         heatmap_size=(image_size // 2, image_size // 2),
-        max_views=4,
+        # nn.Embed returns NaN rows for out-of-range ids under jit, so the
+        # view-embedding table must cover every requested view.
+        max_views=max(4, n_views),
         num_fusion_queries=8,
         num_angle_queries=4,
         freeze_backbone=freeze_backbone,
@@ -153,6 +156,11 @@ def main() -> None:
     robot = get_robot(args.robot)
     assert not (args.render == "link" and args.fk_loss_weight > 0), \
         "FK-consistency loss projects the J-joint chain; link mode adds a keypoint"
+    assert not (robot.keypoint_fk_indices is not None and args.fk_loss_weight > 0), (
+        "FK-consistency loss projects the full FK chain, but this robot's "
+        "keypoint set is a subset of chain origins (keypoint_fk_indices); "
+        "the projected points would not align with keypoints_2d"
+    )
     single = args.mode == "single"
     V = 1 if single else args.views
     rig = make_rig(n_views=max(V, 1), image_hw=(args.image_size, args.image_size))
@@ -186,10 +194,12 @@ def main() -> None:
     pool = None
     if args.dataset_size > 0:
         chunk = min(args.dataset_size, 256)
-        assert args.dataset_size % chunk == 0
+        sizes = [chunk] * (args.dataset_size // chunk)
+        if args.dataset_size % chunk:
+            sizes.append(args.dataset_size % chunk)
         chunks = [
-            make_batch_sized(jax.random.PRNGKey(50_000 + i), chunk)
-            for i in range(args.dataset_size // chunk)
+            make_batch_sized(jax.random.PRNGKey(50_000 + i), n)
+            for i, n in enumerate(sizes)
         ]
         pool = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *chunks)
 
@@ -203,6 +213,7 @@ def main() -> None:
 
     model, ecfg = build_model(
         args.mode, robot, args.image_size, on_tpu, args.angle_head,
+        n_views=V,
         freeze_backbone=args.freeze_backbone,
         with_layerscale=args.backbone_ckpt is not None,
         extra_keypoints=1 if args.render == "link" else 0,
@@ -273,6 +284,9 @@ def main() -> None:
         pck5 = pck_at_k(pred_xy * scale, gt_xy, k_px=5.0)
         pck2 = pck_at_k(pred_xy * scale, gt_xy, k_px=2.0 + scale)  # quantization-aware tight PCK
         fk_pred = jax.vmap(lambda a: forward_kinematics(robot, a))(pred_ang)
+        # Robots whose keypoint set is a subset of chain origins (DREAM
+        # panda) compare on that subset; the full chain would shape-mismatch.
+        fk_pred = robot.keypoints_from_fk(fk_pred)
         # In link mode the GT keypoint set carries the extra tool-marker tip;
         # ADD compares the FK chain (joint origins) only.
         gt3 = batch["keypoints_3d"][..., : fk_pred.shape[-2], :]
@@ -310,7 +324,12 @@ def main() -> None:
         return out
 
     def run_eval(state, batches=None):
-        ms = [eval_metrics(state, b) for b in (batches or eval_batches)]
+        # `batches or eval_batches` would silently swap in the held-out pool
+        # for an empty train-pool list and mislabel the numbers.
+        batches = eval_batches if batches is None else batches
+        if not batches:
+            raise ValueError("run_eval called with an empty batch list")
+        ms = [eval_metrics(state, b) for b in batches]
         out = {}
         for k in ms[0]:
             avg = np.mean(np.stack([np.asarray(m[k]) for m in ms]), axis=0)
@@ -432,7 +451,10 @@ def main() -> None:
             )
             for i in range(min(args.eval_batches, args.dataset_size // args.batch))
         ]
-        final.update({f"trainset_{k}": v for k, v in run_eval(state, pool_batches).items()})
+        if pool_batches:  # pool smaller than one batch -> no trainset metrics
+            final.update(
+                {f"trainset_{k}": v for k, v in run_eval(state, pool_batches).items()}
+            )
         final["dataset_size"] = args.dataset_size
     final.update(
         mode=args.mode,
