@@ -35,7 +35,13 @@ def render_heatmaps(
     dx = (xs.reshape(1, -1) - kp[..., 0, None, None]) ** 2  # (..., J, 1, W)
     dy = (ys.reshape(-1, 1) - kp[..., 1, None, None]) ** 2  # (..., J, H, 1)
     dist_sq = dx + dy  # (..., J, H, W)
-    hm = jnp.exp(-dist_sq / (2.0 * jnp.asarray(sigma, jnp.float32) ** 2))
+    # Non-scalar sigma is per-map (broadcasts against the (..., J) lead dims,
+    # e.g. per-joint widths) - it must NOT align with the trailing W axis,
+    # which raw broadcasting would silently do whenever J == W.
+    sig = jnp.asarray(sigma, jnp.float32)
+    if sig.ndim:
+        sig = sig[..., None, None]
+    hm = jnp.exp(-dist_sq / (2.0 * sig**2))
     peak = jnp.max(hm, axis=(-2, -1), keepdims=True)
     return jnp.where(hm < _F64_EPS * peak, 0.0, hm)
 

@@ -56,9 +56,10 @@ def render_heatmaps_pallas(
     for d in lead:
         M *= d
     kp = keypoints.reshape(M, 2).astype(jnp.float32)
-    inv = jnp.broadcast_to(
-        1.0 / (2.0 * jnp.asarray(sigma, jnp.float32) ** 2), (M, 1)
-    )
+    # Scalar sigma or per-map sigma broadcastable against the lead dims
+    # (e.g. (J,) per-joint widths for (B, J, 2) keypoints).
+    inv = 1.0 / (2.0 * jnp.asarray(sigma, jnp.float32) ** 2)
+    inv = jnp.broadcast_to(inv, tuple(lead)).reshape(M, 1)
     kp3 = jnp.concatenate([kp, inv], axis=1)
 
     M_pad = ((M + block_m - 1) // block_m) * block_m

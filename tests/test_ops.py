@@ -39,6 +39,25 @@ def test_render_pallas_matches_reference(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_render_per_map_sigma(rng):
+    """Non-scalar sigma is per-MAP: a (J,) sigma must broadcast against the
+    lead dims, not the trailing width axis (raw broadcasting would silently
+    align (J,) with W whenever J == W). jnp and Pallas paths agree."""
+    J = 3
+    kps = rng.uniform(10, 110, size=(2, J, 2)).astype(np.float32)
+    sig = np.array([2.0, 4.0, 6.0], np.float32)
+    want = np.stack([
+        np.asarray(render_heatmaps(jnp.asarray(kps[:, j]), 128, 128, sigma=float(sig[j])))
+        for j in range(J)
+    ], axis=1)
+    got_jnp = np.asarray(render_heatmaps(jnp.asarray(kps), 128, 128, sigma=jnp.asarray(sig)))
+    got_pal = np.asarray(
+        render_heatmaps_pallas(jnp.asarray(kps), 128, 128, sigma=jnp.asarray(sig))
+    )
+    np.testing.assert_allclose(got_jnp, want, atol=1e-6)
+    np.testing.assert_allclose(got_pal, want, atol=1e-6)
+
+
 def test_decode_keypoints_rescale(rng):
     kps = rng.uniform(10, 110, size=(2, 2)).astype(np.float32)
     maps = render_heatmaps(jnp.asarray(kps), 128, 128, sigma=3.0)
