@@ -112,14 +112,35 @@ def main() -> None:
     results = {"device": getattr(jax.devices()[0], "device_kind", "cpu"),
                "backend": jax.default_backend(), "stages": {}, "sweep": []}
 
-    # Stage timings at B=1 ("where the time goes").
-    undistort = lambda: np.stack(
+    # Stage timings at B=1 ("where the time goes"). Host undistort is the
+    # serve path's threaded per-camera remap (cli/main.py dispatch_np):
+    # cv2.remap releases the GIL, so V cameras cost ~one remap wall time. The
+    # serial loop is timed beside it - the r3 serve path ran that one and it
+    # alone (40 ms) blew the 33 ms budget of a 30 FPS rig.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=V)
+
+    def undistort_threaded(batch_v, mx, my):  # (V, H, W, 3) u8 -> same
+        out = np.empty_like(batch_v)
+        list(pool.map(
+            lambda i: cv2.remap(batch_v[i], mx, my, cv2.INTER_LINEAR, dst=out[i]),
+            range(len(batch_v)),
+        ))
+        return out
+
+    undistort = lambda: undistort_threaded(frames, map_x, map_y)
+    undistort_serial = lambda: np.stack(
         [cv2.remap(frames[i], map_x, map_y, cv2.INTER_LINEAR) for i in range(V)]
     )
     t0 = time.perf_counter()
     for _ in range(20):
         undistort()
     t_und = (time.perf_counter() - t0) / 20
+    t0 = time.perf_counter()
+    for _ in range(20):
+        undistort_serial()
+    t_und_serial = (time.perf_counter() - t0) / 20
 
     # Tunnel/dispatch round-trip baseline: fetch an existing device scalar.
     dev_zero = jax.device_put(jnp.zeros((), jnp.float32))
@@ -158,6 +179,7 @@ def main() -> None:
     t_dev = (tn - t1) / 10
     results["stages"] = {
         "host_undistort_ms": round(t_und * 1e3, 2),
+        "host_undistort_serial_ms": round(t_und_serial * 1e3, 2),
         "h2d_ms": round(t_h2d * 1e3, 2),
         "device_step_ms": round(t_dev * 1e3, 2),
         "dispatch_round_trip_ms": round(rt * 1e3, 2),
@@ -174,10 +196,7 @@ def main() -> None:
 
         def full_tick(eps):
             und = np.stack(
-                [
-                    np.stack([cv2.remap(batch[b, i], map_x, map_y, cv2.INTER_LINEAR) for i in range(V)])
-                    for b in range(B)
-                ]
+                [undistort_threaded(batch[b], map_x, map_y) for b in range(B)]
             )
             return step(jnp.asarray(und), eps)
 
@@ -210,9 +229,7 @@ def main() -> None:
     from mvropose_tpu.rig import StreamingPipeline, SyntheticSource
 
     def dispatch_fn(images_u8, mask_np):
-        und = np.stack(
-            [cv2.remap(images_u8[i], map_x, map_y, cv2.INTER_LINEAR) for i in range(V)]
-        )
+        und = undistort_threaded(images_u8, map_x, map_y)
         return step1(jnp.asarray(und[None]), jnp.zeros((), jnp.float32))
 
     def fetch_fn(handle):
@@ -270,9 +287,7 @@ def main() -> None:
     smap_y = np.ascontiguousarray(grid_s[0], np.float32)
 
     def dispatch_small(images_u8, mask_np):
-        und = np.stack(
-            [cv2.remap(images_u8[i], smap_x, smap_y, cv2.INTER_LINEAR) for i in range(V)]
-        )
+        und = undistort_threaded(images_u8, smap_x, smap_y)
         return step1(jnp.asarray(und[None]), jnp.zeros((), jnp.float32))
 
     results["rig_pipeline_smallframe"] = {

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -577,14 +578,39 @@ def _cmd_train(args) -> int:
     model = (MultiViewPoseEstimator if multi_view else SingleViewPoseEstimator)(cfg)
     _write_model_config(args.workdir, cfg, multi_view, args.model_size)
 
+    # Parallel host input pipeline (the reference fed its GPUs with 8
+    # DataLoader worker processes, /root/reference/model/DREAM_Train.py:734).
+    # grain workers cover decode + ROI + host undistort; geometry stays in
+    # the parent / on device. The grain path drops the final partial batch
+    # (static shapes, no padding), so it only engages when the dataset has
+    # at least one full batch; the extrinsics-carrying variants (FK loss,
+    # multi-view geometric3d) keep the in-process loader, whose padded
+    # batches ship the rvec/tvec/K fields grain's fixed schema omits.
+    use_grain = (
+        args.num_workers > 0
+        and not multi_view
+        and not getattr(train_ds, "with_extrinsics", False)
+        and len(train_ds) >= args.batch_size
+    )
+    if args.num_workers > 0 and not use_grain:
+        print(
+            "note: --num-workers parallel loading needs the single-view "
+            "non-extrinsics path and >= 1 full batch; using in-process loading"
+        )
+
     mesh = make_mesh(*args.mesh) if args.mesh else make_mesh()
     tcfg = TrainConfig(
         num_epochs=args.epochs,
-        # ceil, not floor: the datasets PAD the final partial batch (shapes
-        # stay static), so an epoch runs ceil(len/bs) optimizer steps - a
-        # floor here would end the cosine schedule early and train the tail
-        # of every run at the eta_min floor.
-        steps_per_epoch=max(1, -(-len(train_ds) // args.batch_size)),
+        # Serial path: ceil, not floor - the datasets PAD the final partial
+        # batch (shapes stay static), so an epoch runs ceil(len/bs) optimizer
+        # steps; a floor here would end the cosine schedule early and train
+        # the tail of every run at the eta_min floor. Grain path: floor,
+        # because grain DROPS the remainder instead of padding it.
+        steps_per_epoch=(
+            len(train_ds) // args.batch_size
+            if use_grain
+            else max(1, -(-len(train_ds) // args.batch_size))
+        ),
         lr_kpt=args.lr_kpt, lr_ang=args.lr_ang,
         loss_weight_kpt=args.loss_weight_kpt,
         loss_weight_fk=args.fk_loss_weight,
@@ -632,9 +658,32 @@ def _cmd_train(args) -> int:
                 out["keypoints_2d"] = jnp.asarray(batch["keypoints_2d"])
         return out
 
-    def train_batches(epoch):
-        for b in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
-            yield to_device(b, augment=True)
+    if use_grain:
+        from mvropose_tpu.data.grain_loader import make_grain_loader
+
+        # One endless stream (shuffle-before-repeat reshuffles every epoch
+        # with an epoch-derived seed); the epoch boundary is steps_per_epoch
+        # batches. Worker processes stay warm across epochs - tearing the
+        # pool down per epoch would pay the spawn cost len(epochs) times.
+        # On checkpoint resume the stream restarts at epoch 0's permutation
+        # (sample-order-only divergence; the serial path reseeds per epoch
+        # and has the same property across separate process invocations).
+        grain_stream = iter(
+            make_grain_loader(
+                train_ds, args.batch_size, shuffle=True, seed=args.seed,
+                num_workers=args.num_workers, num_epochs=None,
+            )
+        )
+
+        def train_batches(epoch):
+            for _ in range(tcfg.steps_per_epoch):
+                yield to_device(next(grain_stream), augment=True)
+
+    else:
+
+        def train_batches(epoch):
+            for b in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
+                yield to_device(b, augment=True)
 
     def val_batches():
         for b in val_ds.batches(args.batch_size):
@@ -681,11 +730,19 @@ def _cmd_train(args) -> int:
             panel = prediction_panel(imgs[0], gt[0], pred[0])
         writer.write_image(int(state_.step), "val_predictions", panel)
 
-    with mesh:
-        result = fit(
-            state, step, eval_step, train_batches, val_batches, tcfg, args.workdir,
-            metric_writer=writer, on_epoch_end=on_epoch_end, mesh=mesh,
-        )
+    try:
+        with mesh:
+            result = fit(
+                state, step, eval_step, train_batches, val_batches, tcfg, args.workdir,
+                metric_writer=writer, on_epoch_end=on_epoch_end, mesh=mesh,
+            )
+    finally:
+        if use_grain:
+            # The endless stream never exhausts; close it so the worker
+            # processes don't linger past the run (long-lived hosts, tests).
+            close = getattr(grain_stream, "close", None)
+            if close is not None:
+                close()
     print(f"done: best val loss {result.best_val_loss:.6f} over {result.epochs_run} epochs")
     return 0
 
@@ -942,7 +999,7 @@ def _cmd_eval(args) -> int:
     # Weighted accumulators: (sum, weight) per metric, so short final batches
     # contribute by their actual sample count instead of skewing a
     # mean-of-batch-means.
-    acc = {k: [0.0, 0.0] for k in ("pck", "mae", "add", "auc")}
+    acc = {k: [0.0, 0.0] for k in ("pck", "mae", "add", "auc", "kp_px", "kp_px2")}
 
     def bump(key, value, weight):
         if weight > 0:
@@ -995,6 +1052,18 @@ def _cmd_eval(args) -> int:
         kp_valid = (valid > 0) & in_frame
         bump("pck", pck_at_k(pred_xy_img, gt_xy_img, k_px=args.pck_px, valid=kp_valid),
              float(jnp.sum(kp_valid)))
+        # Decode pixel error of the REFINED decode (the one the PnP path
+        # consumes): PCK@5 saturates long before PnP stops caring - at DREAM's
+        # 128px/f~70 camera a 1 px decode error is already ~10-15 deg of
+        # recovered rotation (see runs/dream_synth pnp_noise_floor), so the
+        # report carries the actual noise magnitude, not just the 5px pass bit.
+        ref_xy = decode_keypoints(pred_hm, image_hw=tuple(args.image_hw), mode="refine")[0]
+        kp_err = jnp.linalg.norm(ref_xy - gt_xy_img, axis=-1)
+        kw = kp_valid.astype(jnp.float32)
+        n_kp = float(jnp.sum(kw))
+        if n_kp > 0:
+            bump("kp_px", jnp.sum(kp_err * kw) / n_kp, n_kp)
+            bump("kp_px2", jnp.sum(jnp.square(kp_err) * kw) / n_kp, n_kp)
         gt_ang = jnp.asarray(batch["angles"])
         # Per-SAMPLE validity for the angle-space metrics: a failed image load
         # (weight-0 slot) feeds the model a zero image - averaging its garbage
@@ -1062,6 +1131,8 @@ def _cmd_eval(args) -> int:
     mean = lambda k: acc[k][0] / max(acc[k][1], 1e-9)
     report = {
         f"pck@{args.pck_px}px": mean("pck"),  # k_px in image pixels
+        "kp_px_err_mean": mean("kp_px"),  # refined-decode error, image px
+        "kp_px_err_rms": float(np.sqrt(mean("kp_px2"))),
         "angle_mae": mean("mae"),
         "angle_mae_per_joint": [
             round(float(v), 4) for v in (per_joint_sum / max(acc["mae"][1], 1e-9))
@@ -1339,15 +1410,34 @@ def _cmd_serve(args) -> int:
         xy, conf = decode_keypoints(hm[0], image_hw=hw, use_pallas=jax.default_backend() == "tpu")
         return xy, conf, ang
 
+    # Per-camera undistort runs across a thread pool: cv2.remap releases the
+    # GIL, so V cameras cost ~one camera's remap wall time instead of V (the
+    # reference got the same concurrency from its per-camera threads,
+    # /root/reference/DIP_REAL.py:98-127; a serial gather loop at 4x720p
+    # measured 40 ms - above the 33 ms budget of a 30 FPS rig by itself).
+    undistort_pool = None
+    if cv2_maps is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        undistort_pool = ThreadPoolExecutor(max_workers=len(cv2_maps))
+
     def dispatch_np(images, mask):
         """Host phase: undistort + H2D + async device dispatch (no fetch)."""
         if cv2_maps is not None:
             import cv2
 
-            images = np.stack([
-                cv2.remap(images[i], cv2_maps[i][0], cv2_maps[i][1], cv2.INTER_LINEAR)
-                for i in range(len(images))
-            ])
+            out = np.empty_like(images)
+
+            def _remap(i):
+                # dst= writes in place into the batch slot - no final stack
+                # copy of the ~11 MB batch.
+                cv2.remap(
+                    images[i], cv2_maps[i][0], cv2_maps[i][1],
+                    cv2.INTER_LINEAR, dst=out[i],
+                )
+
+            list(undistort_pool.map(_remap, range(len(images))))
+            images = out
         return infer(jnp.asarray(images), jnp.asarray(mask))
 
     def fetch_np(handle):
@@ -1756,6 +1846,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--viz-every", type=int, default=10, help="save prediction panels every N epochs")
     pt.add_argument("--wandb", action="store_true")
     pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--num-workers", type=int,
+                    default=int(os.environ.get("MVROPOSE_NUM_WORKERS", "4")),
+                    help="grain decode worker processes for the train stream "
+                         "(0 = in-process loading; the reference used 8 torch "
+                         "DataLoader workers). Env MVROPOSE_NUM_WORKERS "
+                         "overrides the default (the test suite sets 0).")
     pt.set_defaults(fn=_cmd_train)
 
     pe = sub.add_parser("eval", help="evaluate a trained model (PCK/ADD/MAE)")

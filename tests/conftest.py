@@ -13,6 +13,12 @@ before the backend initializes).
 import os
 import sys
 
+# CLI train defaults to grain worker processes; in the suite every train
+# invocation is a tiny smoke run where worker spawn would dominate, so the
+# suite default is in-process loading (the dedicated grain tests opt back in
+# with an explicit --num-workers).
+os.environ.setdefault("MVROPOSE_NUM_WORKERS", "0")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

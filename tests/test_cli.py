@@ -545,6 +545,56 @@ def test_cli_dream_train(tmp_path):
     assert rc == 0
 
 
+def test_cli_train_grain_workers(tmp_path):
+    """cli train with --num-workers > 0 routes the epoch stream through the
+    grain multiprocess loader (the reference fed its GPUs with 8 DataLoader
+    workers, DREAM_Train.py:734) and still trains/logs end to end. One spawn
+    of one worker (~15 s) keeps this in the fast set; throughput evidence
+    lives in scripts/bench_input_pipeline.py."""
+    import cv2
+
+    base = tmp_path / "panda-3cam_azure"
+    base.mkdir()
+    (base / "_camera_settings.json").write_text(json.dumps({
+        "camera_settings": [{"intrinsic_settings": {"fx": 70.0, "fy": 70.0, "cx": 40.0, "cy": 30.0}}]
+    }))
+    kp_names = ["panda_link0", "panda_link2", "panda_link3", "panda_link4",
+                "panda_link6", "panda_link7", "panda_hand"]
+    rng = np.random.default_rng(11)
+    for i in range(8):
+        data = {
+            "sim_state": {"joints": [
+                {"name": f"panda_joint{j}", "position": 0.1 * j + 0.05 * i} for j in range(1, 8)
+            ]},
+            "objects": [{"keypoints": [
+                {"name": n, "location": [0.1 * k, 0.2, 0.5],
+                 "projected_location": [10.0 + 8 * k, 15.0 + 4 * k]}
+                for k, n in enumerate(kp_names)
+            ]}],
+        }
+        (base / f"{i:04d}.json").write_text(json.dumps(data))
+        cv2.imwrite(str(base / f"{i:04d}.rgb.jpg"), rng.integers(0, 255, (60, 80, 3)).astype(np.uint8))
+
+    csv = tmp_path / "dream.csv"
+    assert main(["sync", "dream", "--base-dirs", str(base), "--out", str(csv)]) == 0
+
+    workdir = tmp_path / "run"
+    rc = main([
+        "train", "--robot", "dream", "--csv", str(csv),
+        "--dream-dirs", str(base), "--workdir", str(workdir),
+        "--image-hw", "60", "80", "--model-size", "64",
+        "--hidden-size", "64", "--num-layers", "1",
+        "--batch-size", "2", "--epochs", "2", "--val-split", "0.5",
+        "--no-augment", "--num-workers", "1",
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in (workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()]
+    assert np.isfinite(recs[-1]["val_loss"])
+    # 4 train samples / batch 2, grain drops remainders -> exactly 2
+    # optimizer steps per epoch over 2 epochs.
+    assert recs[-1]["step"] == 4
+
+
 def test_cli_fr3_single_view_train(tmp_path):
     """FR3 --single-view (reference Franka notebook path) trains end to end."""
     import cv2

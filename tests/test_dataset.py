@@ -255,6 +255,36 @@ def test_grain_loader_batches(tmp_path, rig):
     assert len(a0 | a1) == 8
 
 
+def test_grain_endless_stream_reshuffles_per_epoch(tmp_path, rig):
+    """The endless stream cli train consumes (shuffle-before-repeat) must
+    cover every sample each epoch AND draw a different permutation per epoch
+    - grain derives a per-epoch seed; reordering repeat before shuffle would
+    silently train every epoch in one fixed order."""
+    from mvropose_tpu.data.grain_loader import make_grain_loader
+
+    samples = []
+    for i in range(8):
+        p = tmp_path / f"zed_41182735_left_{7100 + i}.0.jpg"
+        _write_img(p, i)
+        samples.append(
+            SingleViewSample(
+                image_path=str(p), camera_key="front_leftcam", view="front",
+                angles=np.array([float(i), -20, 30, 0, 45, 0], np.float32),
+            )
+        )
+    ds = SingleViewDataset(samples, rig, (H, W))
+    it = iter(make_grain_loader(ds, batch_size=4, shuffle=True, seed=3, num_epochs=None))
+    epochs = []
+    for _ in range(3):
+        order = []
+        for _ in range(2):  # 8 samples / batch 4
+            order.extend(next(it)["angles"][:, 0].tolist())
+        epochs.append(order)
+    for e in epochs:
+        assert sorted(e) == [float(i) for i in range(8)]  # full coverage
+    assert epochs[0] != epochs[1] or epochs[1] != epochs[2]  # reshuffled
+
+
 def test_host_vs_device_undistortion_parity(tmp_path):
     """Host cv2.remap and the device gather remap agree on a distorted rig."""
     import cv2
