@@ -487,6 +487,19 @@ def _load_variables_checked(params_path, variables, angle_head: str):
     return variables
 
 
+def _robot_arg(value: str) -> str:
+    """Validate a robot name or comma list of them (mixed-robot training)."""
+    valid = {"fr5", "fr3", "dream", "meca500", "meca_insertion"}
+    names = [v.strip() for v in value.split(",")]
+    bad = [n for n in names if n not in valid]
+    if bad or not names:
+        raise argparse.ArgumentTypeError(
+            f"unknown robot(s) {bad}; choose from {sorted(valid)} "
+            "(comma-separate for mixed training)"
+        )
+    return ",".join(names)
+
+
 def _cmd_train(args) -> int:
     import pandas as pd
     import jax
@@ -510,23 +523,58 @@ def _cmd_train(args) -> int:
     )
     from mvropose_tpu.train.loop import fit
 
-    rig = _load_rig_from_args(args)
-    df = pd.concat([pd.read_csv(c) for c in args.csv], ignore_index=True)
     image_hw = tuple(args.image_hw)
+    robots = [r.strip() for r in args.robot.split(",")]
+    mixed = len(robots) > 1
 
-    multi_view = args.robot == "fr3" and not args.single_view
-    if args.robot == "dream":
-        ds = builders.build_dream_single_view(df, rig, image_hw)
-    elif args.robot == "fr5":
-        ds = builders.build_fr5_single_view(df, rig, image_hw)
-    elif args.robot == "meca500":
-        ds = builders.build_meca500_single_view(df, rig, image_hw)
-    elif args.robot == "meca_insertion":
-        ds = builders.build_meca_insertion_single_view(df, rig, image_hw)
-    elif multi_view:
-        ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
-    else:  # fr3 --single-view
-        ds = builders.build_fr3_single_view(df, rig, image_hw)
+    def _build_single_view(robot_name, df_r, rig_r):
+        if robot_name == "dream":
+            return builders.build_dream_single_view(df_r, rig_r, image_hw)
+        if robot_name == "fr5":
+            return builders.build_fr5_single_view(df_r, rig_r, image_hw)
+        if robot_name == "meca500":
+            return builders.build_meca500_single_view(df_r, rig_r, image_hw)
+        if robot_name == "meca_insertion":
+            return builders.build_meca_insertion_single_view(df_r, rig_r, image_hw)
+        return builders.build_fr3_single_view(df_r, rig_r, image_hw)
+
+    if mixed:
+        # BASELINE config 4 (mixed-robot training): one model over several
+        # robots via padded heterogeneous batches (data/mixed.py). One --csv
+        # per robot, paired in --robot order; calib/aruco artifacts are
+        # shared directories (each robot's builder binds only the cameras
+        # its serial->view map and CSV paths reference).
+        if len(args.csv) != len(robots):
+            raise SystemExit(
+                f"--robot {args.robot} needs exactly {len(robots)} --csv "
+                "files (one per robot, in order)"
+            )
+        if args.fk_loss_weight > 0:
+            raise SystemExit("--fk-loss-weight is not supported with mixed robots")
+        if args.angle_head != "query":
+            raise SystemExit("mixed-robot training supports --angle-head query")
+        # fr3 in a mixed run always contributes its single-view regime
+        # (heterogeneous batches are single-image rows; --single-view implied).
+        from mvropose_tpu.data.mixed import MixedRobotDataset
+
+        children = []
+        for rname, csvp in zip(robots, args.csv):
+            sub = argparse.Namespace(**vars(args))
+            sub.robot = rname
+            rig_r = _load_rig_from_args(sub)
+            children.append(_build_single_view(rname, pd.read_csv(csvp), rig_r))
+            print(f"  {rname}: {len(children[-1])} samples")
+        ds = MixedRobotDataset(children, robots)
+        rig = children[0].geometry.rig  # hw/heatmap/sigma binding only
+        multi_view = False
+    else:
+        rig = _load_rig_from_args(args)
+        df = pd.concat([pd.read_csv(c) for c in args.csv], ignore_index=True)
+        multi_view = args.robot == "fr3" and not args.single_view
+        if multi_view:
+            ds = builders.build_fr3_multi_view(df, rig, image_hw, tolerance_s=args.tolerance)
+        else:
+            ds = _build_single_view(args.robot, df, rig)
     if args.fk_loss_weight > 0 and not rig.extrinsics:
         # Without calibrated extrinsics the dataset would ship its identity
         # placeholder pose at full sample weight and the FK-consistency term
@@ -569,9 +617,12 @@ def _cmd_train(args) -> int:
         layer_norm_eps=1e-5 if args.rope else 1e-6,  # DINOv3 vs DINOv2/timm
     )
     freeze = not args.no_freeze_backbone
-    n_kp = rig.num_keypoints
+    # Mixed runs size the heads to the WIDEST robot (padded batches carry
+    # per-sample angle masks; padded heatmap channels train to zero).
+    n_kp = ds.num_keypoints if mixed else rig.num_keypoints
+    n_ang = ds.num_angles if mixed else rig.robot.n_joints
     cfg = EstimatorConfig(
-        vit=vit, num_joints=n_kp, num_angles=rig.robot.n_joints,
+        vit=vit, num_joints=n_kp, num_angles=n_ang,
         heatmap_size=rig.heatmap_size, max_views=2 * len(rig.serial_to_view),
         freeze_backbone=freeze, angle_head=args.angle_head,
     )
@@ -589,6 +640,7 @@ def _cmd_train(args) -> int:
     use_grain = (
         args.num_workers > 0
         and not multi_view
+        and not mixed
         and not getattr(train_ds, "with_extrinsics", False)
         and len(train_ds) >= args.batch_size
     )
@@ -651,7 +703,7 @@ def _cmd_train(args) -> int:
                   jnp.asarray(batch["K"]))
         else:
             out["sample_weight"] = jnp.asarray(batch["sample_weight"])
-            for k in ("rvec", "tvec", "K", "base_rotation"):
+            for k in ("rvec", "tvec", "K", "base_rotation", "angle_mask"):
                 if k in batch:
                     out[k] = jnp.asarray(batch[k])
             if args.fk_loss_weight > 0:
@@ -747,11 +799,154 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _eval_mixed(args) -> int:
+    """Per-robot metrics of a mixed-robot checkpoint (BASELINE config 4).
+
+    Reports PCK@k / angle MAE (native units) / FK-space ADD PER ROBOT so the
+    mixed model is directly comparable with its single-robot twins. The
+    PnP-pose protocol stays per-robot-single-robot (extrinsics and pose
+    frames are rig-specific); pose evidence lives in the single-robot evals.
+    """
+    import pandas as pd
+    import jax
+    import jax.numpy as jnp
+
+    from mvropose_tpu.data import builders
+    from mvropose_tpu.data.dataset import make_device_preprocessor
+    from mvropose_tpu.data.mixed import MixedRobotDataset, PAD_KEYPOINT
+    from mvropose_tpu.models import SingleViewPoseEstimator
+    from mvropose_tpu.geometry.heatmap import argmax_decode
+    from mvropose_tpu.geometry.robots import forward_kinematics_batch
+
+    robots = args.robot.split(",")
+    if len(args.csv) != len(robots):
+        raise SystemExit(f"--robot {args.robot} needs {len(robots)} --csv files (one per robot)")
+    image_hw = tuple(args.image_hw)
+    build = {
+        "fr5": builders.build_fr5_single_view,
+        "fr3": builders.build_fr3_single_view,
+        "meca500": builders.build_meca500_single_view,
+        "meca_insertion": builders.build_meca_insertion_single_view,
+        "dream": builders.build_dream_single_view,
+    }
+    children = []
+    for rname, csvp in zip(robots, args.csv):
+        sub = argparse.Namespace(**vars(args))
+        sub.robot = rname
+        rig_r = _load_rig_from_args(sub)
+        children.append(build[rname](pd.read_csv(csvp), rig_r, image_hw))
+    ds = MixedRobotDataset(children, robots)
+
+    saved = _read_model_config(args.params)
+    if saved is None:
+        raise SystemExit("mixed eval needs model_config.json beside --params")
+    cfg, model_size, kind = saved
+    if kind != "single_view":
+        raise SystemExit(f"mixed eval expects a single_view checkpoint, got {kind}")
+    if cfg.num_joints < ds.num_keypoints or cfg.num_angles < ds.num_angles:
+        raise SystemExit(
+            f"checkpoint arity ({cfg.num_joints} kp / {cfg.num_angles} ang) is "
+            f"narrower than the widest robot ({ds.num_keypoints}/{ds.num_angles})"
+        )
+    model = SingleViewPoseEstimator(cfg)
+    rig0 = children[0].geometry.rig
+    pre = make_device_preprocessor(ds.geometry, model_size, cfg.heatmap_size, rig0.sigma)
+
+    first = next(iter(ds.batches(1)))
+    imgs0, _ = pre(
+        jnp.asarray(first["images_u8"]), jnp.asarray(first["cam_idx"]),
+        jnp.asarray(first["keypoints_2d"]),
+    )
+    shapes = jax.eval_shape(lambda k: model.init(k, imgs0), jax.random.PRNGKey(0))
+    variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    variables = _load_variables_checked(args.params, variables, cfg.angle_head)
+    apply_fn = jax.jit(lambda v, x: model.apply(v, x))
+
+    img_h, img_w = image_hw
+    stats = {r: {"pck_n": 0.0, "pck_d": 0.0, "mae": 0.0, "add": 0.0, "n": 0.0} for r in robots}
+    for batch in ds.batches(args.batch_size):
+        imgs, _ = pre(
+            jnp.asarray(batch["images_u8"]), jnp.asarray(batch["cam_idx"]),
+            jnp.asarray(batch["keypoints_2d"]),
+        )
+        hm, ang = apply_fn(variables, imgs)
+        xy, _ = argmax_decode(hm)
+        scale = np.asarray([img_w / hm.shape[-1], img_h / hm.shape[-2]], np.float32)
+        pred_xy = np.asarray(xy) * scale
+        pred_ang = np.asarray(ang)
+        gt_xy = batch["keypoints_2d"]
+        w = batch["sample_weight"] > 0
+        kp_real = gt_xy[..., 0] > PAD_KEYPOINT + 1.0  # padded channels excluded
+        in_frame = (
+            (gt_xy[..., 0] >= 0) & (gt_xy[..., 0] < img_w)
+            & (gt_xy[..., 1] >= 0) & (gt_xy[..., 1] < img_h)
+        )
+        kp_valid = kp_real & in_frame & w[:, None]
+        err = np.linalg.norm(pred_xy - gt_xy, axis=-1)
+        for ci, rname in enumerate(robots):
+            sel = (batch["robot_id"] == ci) & w
+            if not sel.any():
+                continue
+            robot = children[ci].geometry.rig.robot
+            A = robot.n_joints
+            kv = kp_valid & sel[:, None]
+            st = stats[rname]
+            st["pck_n"] += float(((err <= args.pck_px) & kv).sum())
+            st["pck_d"] += float(kv.sum())
+            # Angles train in radians; report native units (deg robots /scale).
+            to_native = 1.0 / float(ds.angle_scale[ci])
+            pa = pred_ang[sel][:, :A] * to_native
+            ga = batch["angles"][sel][:, :A] * to_native
+            st["mae"] += float(np.abs(pa - ga).sum() / A)
+            fk_p = forward_kinematics_batch(robot, jnp.asarray(pa))
+            fk_g = forward_kinematics_batch(robot, jnp.asarray(ga))
+            st["add"] += float(
+                jnp.mean(jnp.linalg.norm(fk_p - fk_g, axis=-1), axis=-1).sum()
+            )
+            st["n"] += float(sel.sum())
+    report = {"robots": robots, "samples": int(sum(s["n"] for s in stats.values()))}
+    for rname in robots:
+        s = stats[rname]
+        n = max(s["n"], 1e-9)
+        report[rname] = {
+            f"pck@{args.pck_px}px": s["pck_n"] / max(s["pck_d"], 1e-9),
+            "angle_mae_native": s["mae"] / n,
+            "angle_unit": children[robots.index(rname)].geometry.rig.robot.angle_unit,
+            "add_m": s["add"] / n,
+            "samples": int(s["n"]),
+        }
+    print(json.dumps(report))
+    return 0
+
+
+def _int8ify(model_cls, cfg, variables):
+    """Quantize a loaded float checkpoint's backbone to int8 and rebuild the
+    model with the quantized ViT config (serve-path HBM-roofline attack;
+    see models/quantize.py). Heads stay float."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvropose_tpu.models.quantize import quantize_backbone_params
+
+    cfg = _dc.replace(cfg, vit=_dc.replace(cfg.vit, quant="int8"))
+    params = dict(variables["params"])
+    params["backbone"] = jax.tree_util.tree_map(
+        jnp.asarray, quantize_backbone_params(params["backbone"])
+    )
+    variables = {**variables, "params": params}
+    return model_cls(cfg), cfg, variables
+
+
 def _cmd_eval(args) -> int:
     """Evaluate a trained model: PCK@k px, angle MAE, and FK-space ADD."""
     import pandas as pd
     import jax
     import jax.numpy as jnp
+
+    if "," in args.robot:
+        return _eval_mixed(args)
 
     from mvropose_tpu.data import builders
     from mvropose_tpu.data.dataset import make_device_preprocessor
@@ -833,6 +1028,9 @@ def _cmd_eval(args) -> int:
         shapes = jax.eval_shape(lambda k: model.init(k, imgs), jax.random.PRNGKey(0))
     variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     variables = _load_variables_checked(args.params, variables, cfg.angle_head)
+    if getattr(args, "int8_backbone", False):
+        model, cfg, variables = _int8ify(type(model), cfg, variables)
+        print("backbone quantized to int8 (per-channel weights, dynamic per-token activations)")
 
     # Optional occlusion-robustness probe: solid random rectangles on the
     # model inputs (the reference's adversarial masking at inference,
@@ -1278,6 +1476,9 @@ def _cmd_serve(args) -> int:
     variables = jax.tree_util.tree_map_with_path(_template_leaf, shapes)
     if args.params:
         variables = _load_variables_checked(args.params, variables, cfg.angle_head)
+    if getattr(args, "int8_backbone", False):
+        model, cfg, variables = _int8ify(type(model), cfg, variables)
+        print("backbone quantized to int8 (per-channel weights, dynamic per-token activations)")
     view_ids = jnp.arange(args.views, dtype=jnp.int32)[None]
 
     # Optional per-camera undistortion: --calib-dir + --camera-keys binds the
@@ -1791,7 +1992,10 @@ def build_parser() -> argparse.ArgumentParser:
     pc.set_defaults(fn=_cmd_calibrate)
 
     pt = sub.add_parser("train", help="train an estimator")
-    pt.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"], required=True)
+    pt.add_argument("--robot", type=_robot_arg, required=True,
+                    help="fr5|fr3|dream|meca500|meca_insertion, or a comma "
+                         "list for mixed-robot training (BASELINE config 4), "
+                         "e.g. --robot fr5,fr3 with one --csv per robot")
     pt.add_argument("--csv", nargs="+", required=True)
     pt.add_argument("--calib-dir", default=None)
     pt.add_argument("--aruco-summary", nargs="*", default=None)
@@ -1855,7 +2059,9 @@ def build_parser() -> argparse.ArgumentParser:
     pt.set_defaults(fn=_cmd_train)
 
     pe = sub.add_parser("eval", help="evaluate a trained model (PCK/ADD/MAE)")
-    pe.add_argument("--robot", choices=["fr5", "fr3", "dream", "meca500", "meca_insertion"], required=True)
+    pe.add_argument("--robot", type=_robot_arg, required=True,
+                    help="robot name, or a comma list to evaluate a "
+                         "mixed-robot checkpoint per robot")
     pe.add_argument("--csv", nargs="+", required=True)
     pe.add_argument("--params", required=True, help="best_params.npz")
     pe.add_argument("--angle-head", choices=["query", "geometric", "geometric3d"],

@@ -65,10 +65,16 @@ def _weighted_mean(per_sample: jnp.ndarray, w: jnp.ndarray | None) -> jnp.ndarra
     return jnp.sum(per_sample * wf) / (jnp.sum(wf) + 1e-8)
 
 
-def _huber_per_sample(pred, gt, beta):
+def _huber_per_sample(pred, gt, beta, mask=None):
+    """Per-sample Huber over the angle axis; `mask` (same shape as gt)
+    drops padded angle slots - mixed-robot batches pad every robot to the
+    widest joint count and a 6-dof robot's 7th 'angle' is not a target."""
     d = jnp.abs(pred - gt)
     hub = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
-    return jnp.mean(hub, axis=-1)
+    if mask is None:
+        return jnp.mean(hub, axis=-1)
+    m = mask.astype(hub.dtype)
+    return jnp.sum(hub * m, axis=-1) / (jnp.sum(m, axis=-1) + 1e-8)
 
 
 def make_single_view_train_step(
@@ -102,7 +108,11 @@ def make_single_view_train_step(
                 per = jnp.mean((pred_hm - batch["heatmaps"]) ** 2, axis=(1, 2, 3))
                 loss_kpt = _weighted_mean(per, w)
             loss_ang = _weighted_mean(
-                _huber_per_sample(pred_ang, batch["angles"], cfg.angle_beta), w
+                _huber_per_sample(
+                    pred_ang, batch["angles"], cfg.angle_beta,
+                    batch.get("angle_mask"),
+                ),
+                w,
             )
             total = loss_kpt * cfg.loss_weight_kpt + loss_ang
 
@@ -227,7 +237,10 @@ def make_eval_step(cfg: TrainConfig, multi_view: bool, mesh: Mesh | None = None)
                 per = jnp.mean((pred_hm - batch["heatmaps"]) ** 2, axis=(1, 2, 3))
                 loss_kpt = _weighted_mean(per, w)
         loss_ang = _weighted_mean(
-            _huber_per_sample(pred_ang, batch["angles"], cfg.angle_beta), w
+            _huber_per_sample(
+                pred_ang, batch["angles"], cfg.angle_beta, batch.get("angle_mask")
+            ),
+            w,
         )
         total = loss_kpt * cfg.loss_weight_kpt + loss_ang
         return {
