@@ -89,29 +89,46 @@ def main() -> None:
 
     peak = peak_flops(jax.devices()[0])
 
-    def run_chain(n):
+    def run_chain(n, call):
         """n chained steps ending in a scalar fetch; returns wall seconds.
 
-        Calls the AOT `compiled` executable directly (same pattern as
-        bench_train.bench_step) - re-invoking the jitted serve_step would
-        re-trace and re-compile the identical program the cost-analysis
-        lowering already built."""
+        `call` is either the AOT `compiled` executable (default headline;
+        same pattern as bench_train.bench_step - re-invoking the jitted
+        serve_step would re-trace the identical program the cost-analysis
+        lowering already built) or the jitted `serve_step` itself (the A/B
+        arm: rounds 1-2 timed through the jitted dispatch path, round 3
+        switched to AOT, so both are reported to make round-over-round
+        moves attributable to the session, not the call path)."""
         eps = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
-            xy, conf, angles = compiled(variables, images, view_ids, view_mask, eps)
+            xy, conf, angles = call(variables, images, view_ids, view_mask, eps)
             eps = jnp.reshape(conf, (-1,))[0] * 1e-12  # tiny but nonzero: no constant folding
         float(jax.device_get(eps))  # forces the whole chain
         return time.perf_counter() - t0
 
-    run_chain(2)  # warmup / compile
+    run_chain(2, compiled)  # warmup / compile
     iters = 20
-    t1 = min(run_chain(1) for _ in range(3))
-    tn = min(run_chain(iters + 1) for _ in range(3))
-    dt = tn - t1  # per-call tunnel round-trip removed by differencing
+    reps = 5
+    # Variance protocol: >= 5 independent chains. Per-chain throughput uses a
+    # shared 1-chain offset (min over reps) to difference out the dispatch
+    # round-trip; the headline stays best-of (comparable with BENCH_r01-r03),
+    # with median/min/spread carried so a cross-session move can be told from
+    # tunnel noise.
+    t1 = min(run_chain(1, compiled) for _ in range(reps))
+    dts = sorted(run_chain(iters + 1, compiled) - t1 for _ in range(reps))
+    fps_chains = [iters * B / d for d in dts]
+    fps = fps_chains[0]  # best chain (min dt), the r01-r03 headline protocol
+    step_s = dts[0] / iters
+    med = fps_chains[len(fps_chains) // 2]
+    spread_pct = 100.0 * (fps_chains[0] - fps_chains[-1]) / med
 
-    fps = iters * B / dt
-    step_s = dt / iters
+    # A/B arm: same chain through the jitted call path (r2's protocol).
+    run_chain(1, serve_step)  # absorb first-call dispatch setup
+    t1_j = min(run_chain(1, serve_step) for _ in range(2))
+    dt_j = min(run_chain(iters + 1, serve_step) - t1_j for _ in range(2))
+    fps_jitted = iters * B / dt_j
+
     print(
         json.dumps(
             {
@@ -119,6 +136,11 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frame-sets/s (4cam@512px ViT-B/16 + decode)",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "fps_median": round(med, 3),
+                "fps_min": round(fps_chains[-1], 3),
+                "fps_spread_pct": round(spread_pct, 1),
+                "fps_jitted_call": round(fps_jitted, 3),
+                "chains": reps,
                 "tflops_per_step": round(flops / 1e12, 3),
                 "achieved_tflops_per_sec": round(flops / step_s / 1e12, 2),
                 "mfu": round(flops / step_s / peak, 4) if peak else None,
