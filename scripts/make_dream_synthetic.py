@@ -48,6 +48,15 @@ def main() -> int:
     p.add_argument("--angle-scale", type=float, default=0.6)
     p.add_argument("--noise-std", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--focal-scale", type=float, default=0.55,
+                   help="focal length as a multiple of image width. The "
+                        "default matches the multi-robot synthetic rig; "
+                        "0.96 matches DREAM-real's angular resolution "
+                        "(fx/width = 615.5/640 for its RealSense captures) "
+                        "- at 0.55 the robot subtends ~2x fewer pixels, so "
+                        "decode noise costs ~2x more recovered-pose error")
+    p.add_argument("--distance", type=float, default=1.6,
+                   help="camera ring radius in meters (make_rig distance_m)")
     args = p.parse_args()
 
     import cv2
@@ -69,7 +78,10 @@ def main() -> int:
     assert len(fk_idx) == len(DREAM_KEYPOINT_NAMES)
 
     h, w = args.image_hw
-    rig = make_rig(n_views=1, image_hw=(h, w))
+    rig = make_rig(
+        n_views=1, image_hw=(h, w),
+        distance_m=args.distance, focal_scale=args.focal_scale,
+    )
     K, rvec, tvec = rig.K, rig.rvecs[0], rig.tvecs[0]
 
     rng = np.random.default_rng(args.seed)
