@@ -2086,6 +2086,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--pck-px", type=float, default=5.0)
     pe.add_argument("--occlusion-masks", type=int, default=0,
                     help="occlusion-robustness probe: N random solid rectangles per image")
+    pe.add_argument("--int8-backbone", action="store_true",
+                    help="quantize the loaded checkpoint's backbone to int8 "
+                         "(models/quantize.py) before evaluating - the "
+                         "accuracy side of the serve-path speedup")
     pe.add_argument("--single-view", action="store_true")
     pe.set_defaults(fn=_cmd_eval)
 
@@ -2135,6 +2139,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="disable the double-buffered tick (dispatch N / "
                          "fetch N-1); serial gather->infer->fetch instead")
     pv.add_argument("--params", default=None, help="best_params.npz from training")
+    pv.add_argument("--int8-backbone", action="store_true",
+                    help="serve with the backbone quantized to int8 "
+                         "(models/quantize.py; measured 1.14x on the 4cam@512 "
+                         "ViT-B step, runs/int8_bench.json)")
     pv.add_argument("--angle-head", choices=["query", "geometric", "geometric3d"],
                     default="query")
     pv.add_argument("--calib-dir", default=None)

@@ -94,6 +94,10 @@ class ViTConfig:
     # torch LayerNorm eps: timm/HF DINOv2 use 1e-6, HF DINOv3 uses 1e-5 -
     # parity with converted checkpoints needs the exact value.
     layer_norm_eps: float = 1e-6
+    # "int8": AQT-style dynamically-quantized matmuls in every block (see
+    # models/quantize.py) - the serve-path attack on the HBM roofline.
+    # Params come from quantize_backbone_params over a float checkpoint.
+    quant: Optional[str] = None
 
     @property
     def grid_size(self) -> int:
@@ -122,12 +126,19 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: jnp.dtype
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        if self.quant == "int8":
+            from mvropose_tpu.models.quantize import Int8Dense
+
+            dense = lambda f, name: Int8Dense(f, dtype=self.dtype, name=name)
+        else:
+            dense = lambda f, name: nn.Dense(f, dtype=self.dtype, name=name)
+        x = dense(self.hidden, "fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = dense(self.out, "fc2")(x)
         return x
 
 
@@ -185,16 +196,30 @@ class FusedMHA(nn.Module):
 
     num_heads: int
     dtype: jnp.dtype
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, key_mask=None, rope=None):
         from mvropose_tpu.ops.attention import fused_self_attention
 
-        D = x.shape[-1]
+        B, T, D = x.shape
         head_dim = D // self.num_heads
-        proj = lambda name: nn.DenseGeneral(
-            features=(self.num_heads, head_dim), axis=-1, dtype=self.dtype, name=name
-        )
+        if self.quant == "int8":
+            # Same module names as the float path; 2-D int8 kernels
+            # ((D, H*dh) / (H*dh, D)) - quantize_backbone_params reshapes
+            # the float DenseGeneral kernels to match.
+            from mvropose_tpu.models.quantize import Int8Dense
+
+            proj = lambda name: (
+                lambda y: Int8Dense(D, dtype=self.dtype, name=name)(y).reshape(
+                    B, T, self.num_heads, head_dim
+                )
+            )
+        else:
+            proj = lambda name: nn.DenseGeneral(
+                features=(self.num_heads, head_dim), axis=-1, dtype=self.dtype,
+                name=name,
+            )
         q = proj("query")(x)
         k = proj("key")(x)
         v = proj("value")(x)
@@ -203,6 +228,10 @@ class FusedMHA(nn.Module):
             q = _apply_rope(q, cos, sin, n_prefix)
             k = _apply_rope(k, cos, sin, n_prefix)
         out = fused_self_attention(q, k, v, key_mask=key_mask)
+        if self.quant == "int8":
+            from mvropose_tpu.models.quantize import Int8Dense
+
+            return Int8Dense(D, dtype=self.dtype, name="out")(out.reshape(B, T, D))
         return nn.DenseGeneral(
             features=D, axis=(-2, -1), dtype=self.dtype, name="out"
         )(out)
@@ -217,12 +246,12 @@ class Block(nn.Module):
         dt = c.compute_dtype
         eps = c.layer_norm_eps
         h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm1")(x).astype(dt)
-        h = FusedMHA(num_heads=c.num_heads, dtype=dt, name="attn")(h, rope=rope)
+        h = FusedMHA(num_heads=c.num_heads, dtype=dt, quant=c.quant, name="attn")(h, rope=rope)
         if c.layerscale_init is not None:
             h = LayerScale(c.hidden_size, c.layerscale_init, name="ls1")(h)
         x = x + h
         h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm2")(x).astype(dt)
-        h = Mlp(int(c.hidden_size * c.mlp_ratio), c.hidden_size, dt, name="mlp")(h)
+        h = Mlp(int(c.hidden_size * c.mlp_ratio), c.hidden_size, dt, quant=c.quant, name="mlp")(h)
         if c.layerscale_init is not None:
             h = LayerScale(c.hidden_size, c.layerscale_init, name="ls2")(h)
         return x + h
