@@ -52,6 +52,18 @@ def main() -> None:
                         "1.6 m) one image px ~ 2.3 cm in 3D, so j4/j5 "
                         "(0.26/0.18 cm per deg) are noise-limited long "
                         "before the exact bound.")
+    p.add_argument("--noise-file", default=None,
+                   help=".npy of measured decode residuals (N, J, 2) in "
+                        "IMAGE px (train_synthetic.py writes "
+                        "workdir/decode_residuals.npy at final eval). "
+                        "Sampled with replacement per (sample, view, "
+                        "keypoint) - the bound under the estimator's REAL "
+                        "error distribution (heavy tails, per-keypoint "
+                        "structure) instead of an isotropic Gaussian. "
+                        "Overrides --noise-px.")
+    p.add_argument("--variants", nargs="+", default=["2d", "tri3d", "fk3d"],
+                   choices=["2d", "tri3d", "fk3d"],
+                   help="subset to run (fk3d is noise-independent)")
     p.add_argument("--out", default="runs/task_bound_mv.json")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the env-var override is "
@@ -85,6 +97,20 @@ def main() -> None:
     K, rvecs, tvecs = rig_tuple(rig)
     projs = heatmap_projection_matrices(rvecs, tvecs, K, (S, S), (hm, hm))
 
+    noise_pool = None
+    if args.noise_file:
+        # Measured residuals arrive in image px; the featurization works in
+        # heatmap px. Drop non-finite rows (masked/failed decodes).
+        pool = np.load(args.noise_file).astype(np.float32) * (hm / S)
+        pool = pool[np.isfinite(pool).all(axis=(1, 2))]
+        assert pool.shape[1] == robot.n_keypoints, (
+            f"noise pool has {pool.shape[1]} keypoints, robot expects "
+            f"{robot.n_keypoints}"
+        )
+        noise_pool = jnp.asarray(pool)
+        print(f"noise pool: {pool.shape[0]} samples, per-kp rms (hm px) "
+              f"{np.sqrt((pool ** 2).mean(axis=(0, 2))).round(2).tolist()}")
+
     def features(key, n, variant):
         """angles + the requested exact featurization, all on device.
 
@@ -104,7 +130,13 @@ def main() -> None:
 
         kp2d = jnp.transpose(jax.vmap(proj_view)(rvecs, tvecs), (1, 0, 2, 3))  # (B,V,J,2)
         kp2d_hm = kp2d * (hm / S)
-        if args.noise_px > 0:
+        if noise_pool is not None:
+            J = kp2d_hm.shape[2]
+            idx = jax.random.randint(
+                k_noise, (n, kp2d_hm.shape[1], J), 0, noise_pool.shape[0]
+            )
+            kp2d_hm = kp2d_hm + noise_pool[idx, jnp.arange(J)[None, None, :]]
+        elif args.noise_px > 0:
             kp2d_hm = kp2d_hm + args.noise_px * jax.random.normal(
                 k_noise, kp2d_hm.shape
             )

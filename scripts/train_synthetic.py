@@ -433,6 +433,34 @@ def main() -> None:
             "success_rate": float(ok.mean()),
         }
 
+    # Decode-error residual pool: refined-decode (pred - GT) per keypoint on
+    # the held-out batches, in IMAGE px. This is the estimator's MEASURED
+    # decode-noise distribution - task_bound_mv.py --noise-file feeds it to
+    # the exact-geometry MLP bounds so "j5 sits at the decode-noise floor"
+    # is testable against the model's real (heavy-tailed, per-keypoint)
+    # errors instead of an isotropic Gaussian.
+    from mvropose_tpu.decode import decode_keypoints as _decode_kp
+
+    res = []
+    for b in eval_batches:
+        variables_ = {"params": state.params, "batch_stats": state.batch_stats}
+        if single:
+            hm_b, _ = state.apply_fn(variables_, b["images"])
+            hm_b, gt = hm_b[:, None], b["keypoints_2d"][:, None]
+        else:
+            hm_b, _ = state.apply_fn(
+                variables_, b["images"], b["view_ids"], b["view_mask"],
+                proj_mats=b.get("proj_mats"),
+            )
+            gt = b["keypoints_2d"]
+        xy, _ = jax.vmap(
+            lambda h: _decode_kp(
+                h, image_hw=(args.image_size, args.image_size), mode="refine"
+            )
+        )(hm_b)
+        res.append(np.asarray(xy - gt).reshape(-1, gt.shape[-2], 2))
+    np.save(workdir / "decode_residuals.npy", np.concatenate(res))
+
     pe = pose_eval(eval_batches, use_gt_angles=False)
     pe_gt = pose_eval(eval_batches, use_gt_angles=True)
     final["pose_rot_err_deg"] = pe["rot_err_deg"]
