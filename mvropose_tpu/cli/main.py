@@ -741,16 +741,35 @@ def _cmd_train(args) -> int:
         for b in val_ds.batches(args.batch_size):
             yield to_device(b)
 
-    # Init with one small example batch.
-    first = to_device(next(iter(train_ds.batches(min(args.batch_size, 2)))))
+    # Init ON THE HOST CPU DEVICE with zero tensors of the model's input
+    # shapes: flax init runs eagerly, and through the tunneled TPU every op
+    # is a ~30 ms round trip - a 4-layer model's init alone costs minutes
+    # there (same trick as scripts/train_synthetic.py / bench.py). Going
+    # through to_device here would additionally remote-compile the
+    # preprocessor at the init batch size. One H2D transfer follows when the
+    # train step shards the state.
+    raw = next(iter(train_ds.batches(min(args.batch_size, 2))))
+    B0 = raw["images_u8"].shape[0]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        if multi_view:
+            V0 = raw["images_u8"].shape[1]
+            imgs0 = np.zeros((B0, V0, args.model_size, args.model_size, 3), np.float32)
+            pm0 = (
+                np.zeros((B0, V0, 3, 4), np.float32)
+                if args.angle_head == "geometric3d" else None
+            )
+            variables = model.init(
+                jax.random.PRNGKey(0), imgs0,
+                np.asarray(raw["view_ids"]), np.asarray(raw["view_mask"]),
+                proj_mats=pm0,
+            )
+        else:
+            imgs0 = np.zeros((B0, args.model_size, args.model_size, 3), np.float32)
+            variables = model.init(jax.random.PRNGKey(0), imgs0)
     if multi_view:
-        variables = model.init(
-            jax.random.PRNGKey(0), first["images"], first["view_ids"], first["view_mask"],
-            proj_mats=first.get("proj_mats"),
-        )
         step = make_multi_view_train_step(tcfg, mesh)
     else:
-        variables = model.init(jax.random.PRNGKey(0), first["images"])
         step = make_single_view_train_step(tcfg, mesh, robot=rig.robot)
     if args.backbone_ckpt:
         variables = _graft_backbone_ckpt(variables, args.backbone_ckpt, vit)
@@ -1496,17 +1515,20 @@ def _cmd_serve(args) -> int:
         keys = args.camera_keys.split(",")
         assert len(keys) == args.views, "--camera-keys must list one key per view"
         cv2_maps, camera_Ks, camera_views = [], [], []
-        for key in keys:
-            matches = sorted(Path(args.calib_dir).glob(f"{key.split('_')[0]}_*_{key.split('_')[1]}_calib.json"))
-            assert matches, f"no calib file for camera key {key}"
-            data = json.loads(matches[0].read_text())
-            K = jnp.asarray(data["camera_matrix"], jnp.float32)
-            dist = jnp.asarray(data["distortion_coeffs"], jnp.float32).reshape(-1)
-            grid = np.asarray(undistort_map(K, dist, hw[0], hw[1]))
-            cv2_maps.append((np.ascontiguousarray(grid[1], np.float32),
-                             np.ascontiguousarray(grid[0], np.float32)))
-            camera_Ks.append(np.asarray(data["camera_matrix"], np.float32))
-            camera_views.append(key.split("_")[0])
+        # Host-side grids: compute on the CPU device (eager JAX through the
+        # tunneled TPU costs minutes per camera; see _RigGeometry.remaps).
+        with jax.default_device(jax.devices("cpu")[0]):
+            for key in keys:
+                matches = sorted(Path(args.calib_dir).glob(f"{key.split('_')[0]}_*_{key.split('_')[1]}_calib.json"))
+                assert matches, f"no calib file for camera key {key}"
+                data = json.loads(matches[0].read_text())
+                K = jnp.asarray(data["camera_matrix"], jnp.float32)
+                dist = jnp.asarray(data["distortion_coeffs"], jnp.float32).reshape(-1)
+                grid = np.asarray(undistort_map(K, dist, hw[0], hw[1]))
+                cv2_maps.append((np.ascontiguousarray(grid[1], np.float32),
+                                 np.ascontiguousarray(grid[0], np.float32)))
+                camera_Ks.append(np.asarray(data["camera_matrix"], np.float32))
+                camera_views.append(key.split("_")[0])
 
     recover = None
     if args.recover_pose:
@@ -2169,10 +2191,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.backend != "auto":
-        import jax
+    import jax
 
+    if args.backend != "auto":
         jax.config.update("jax_platforms", args.backend)
+    # Persistent compilation cache (same as bench.py): a fresh train/eval/
+    # serve program costs a full remote compile through the TPU tunnel
+    # (minutes); re-invocations and the driver's runs then hit the cache.
+    repo = Path(__file__).resolve().parents[2]
+    cache = os.environ.get(
+        "MVROPOSE_JAX_CACHE",
+        str(repo / ".jax_cache") if (repo / ".git").exists()
+        else os.path.expanduser("~/.cache/mvropose_tpu/jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return args.fn(args)
 
 
