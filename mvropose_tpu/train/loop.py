@@ -113,6 +113,14 @@ def fit(
                 valid = valid[..., None]  # (B, V, 1) broadcast over joints
             elif batch.get("sample_weight") is not None:
                 valid = batch["sample_weight"][:, None] > 0  # (B, 1) over joints
+            # Channels whose GT map is identically zero carry no scorable
+            # keypoint (mixed-robot batches pad every robot to the widest
+            # keypoint count; the pad target IS the zero map) - without this
+            # a 2-robot run pins val_pck5 at 15/16 forever.
+            gt_peak = np.asarray(batch["heatmaps"]).max(axis=(-2, -1)) > 0.1
+            valid = gt_peak if valid is None else np.broadcast_to(
+                np.asarray(valid), gt_peak.shape
+            ) & gt_peak
             pcks.append(float(pck_at_k(pred_xy, gt_xy, k_px=5.0, valid=valid)))
         val_avg = {
             f"val_{k}": float(np.mean([float(m[k]) for m in val_metrics])) if val_metrics else float("nan")
