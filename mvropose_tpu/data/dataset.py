@@ -167,12 +167,19 @@ class _RigGeometry:
 
     @functools.cached_property
     def remaps(self) -> np.ndarray:
-        """(C, 2, H, W) undistortion remap grid per camera."""
+        """(C, 2, H, W) undistortion remap grid per camera.
+
+        Computed on the host CPU device: the grids feed cv2.remap on the
+        host, and the iterative inverse-distortion solve dispatched eagerly
+        through a tunneled TPU costs minutes per camera."""
+        import jax
+
         H, W = self.image_hw
-        grids = [
-            np.asarray(undistort_map(jnp.asarray(K), jnp.asarray(d), H, W))
-            for K, d in zip(self.K, self.dist)
-        ]
+        with jax.default_device(jax.devices("cpu")[0]):
+            grids = [
+                np.asarray(undistort_map(jnp.asarray(K), jnp.asarray(d), H, W))
+                for K, d in zip(self.K, self.dist)
+            ]
         return np.stack(grids)
 
     @functools.cached_property
@@ -328,6 +335,14 @@ class SingleViewDataset:
         self.has_kp3d = bool(self.samples) and all(
             s.keypoints_3d_cam is not None for s in self.samples
         )
+        # Per-sample GT keypoints are a pure function of (angles, extrinsic)
+        # - both static per sample - so FK+projection runs once per sample,
+        # not once per sample PER EPOCH (even CPU-jitted, the per-call jit
+        # dispatch is ~9 ms; x2000 samples x80 epochs was most of an epoch).
+        # Keyed by sample object identity: train_val_split shallow-copies
+        # the dataset, and the copies share sample objects but re-index
+        # their own .samples lists.
+        self._kp_cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -366,7 +381,10 @@ class SingleViewDataset:
                 if img is None:
                     continue  # weight stays 0 (reference: None-filter collate)
                 ek = self.extr_key_fn(s) if self.extr_key_fn else None
-                kp = self.geometry.gt_keypoints(s, ek)
+                kp = self._kp_cache.get(id(s))
+                if kp is None:
+                    kp = self.geometry.gt_keypoints(s, ek)
+                    self._kp_cache[id(s)] = kp
                 prepared = _apply_roi_and_undistort(
                     self.geometry, s, img, kp, self.undistort_on_host
                 )
@@ -426,6 +444,10 @@ class MultiViewDataset:
         self.angles_transform = angles_transform
         self.with_extrinsics = with_extrinsics
         self.undistort_on_host = undistort_on_host
+        # (id(group), view_pos) -> GT keypoints; deterministic per group
+        # view, so FK+projection runs once, not once per epoch (see the
+        # single-view cache note).
+        self._kp_cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.groups)
@@ -530,7 +552,11 @@ class MultiViewDataset:
                     images[slot, v] = img
                     view_ids[slot, v] = rig.view_index(rv["serial"], rv["cam"])
                     cam_idx[slot, v] = self.geometry.key_to_idx[ckey]
-                    kpts[slot, v] = self.geometry.gt_keypoints(sample, ekey)
+                    kp = self._kp_cache.get((id(g), v))
+                    if kp is None:
+                        kp = self.geometry.gt_keypoints(sample, ekey)
+                        self._kp_cache[(id(g), v)] = kp
+                    kpts[slot, v] = kp
                     view_mask[slot, v] = True
                     any_view = True
                     if self.with_extrinsics:
