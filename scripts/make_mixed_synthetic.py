@@ -54,6 +54,15 @@ def main() -> int:
     p.add_argument("--focal-scale", type=float, default=0.96)
     p.add_argument("--noise-std", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--calib-from", default=None,
+                   help="reuse an EXISTING generated set's calib/ and aruco "
+                        "summaries instead of placing new cameras. A "
+                        "held-out EVAL set must share the train set's "
+                        "cameras (the camera center derives from an FK "
+                        "probe cloud fed by --seed, so a fresh seed would "
+                        "move the camera and confound the eval with a "
+                        "train/test geometry shift); pass the train "
+                        "--out-dir here and a new --seed for fresh angles.")
     args = p.parse_args()
 
     import cv2
@@ -83,46 +92,55 @@ def main() -> int:
         serial, view = spec["serial"], spec["view"]
         robot = get_robot(spec["robot_name"])
 
-        # Aim the camera at the robot's ACTUAL workspace: per-view base
-        # rotations re-orient the arm in world frame (fr3's view1 points it
-        # -z; fr5's left swaps axes), so a fixed make_rig target would look
-        # at the wrong half-space. Probe the FK keypoint cloud, look at its
-        # centroid from a distance scaled to its radius.
-        half_probe = ANGLE_HALF[rname]
-        probe = rng.uniform(-half_probe, half_probe, size=(256, robot.n_joints)).astype(np.float32)
-        base = jnp.asarray(robot.base_rotation(view))
-        cloud = np.asarray(
-            jax.vmap(lambda a: robot.keypoints_from_fk(forward_kinematics(robot, a, base)))(
-                jnp.asarray(probe)
-            )
-        ).reshape(-1, 3)
-        centroid = cloud.mean(axis=0)
-        radius = float(np.linalg.norm(cloud - centroid, axis=1).max())
-        # Distance so the cloud's full extent spans ~70% of the frame.
-        dist = 2.0 * radius * args.focal_scale / 0.35
-        center = centroid + dist * np.array([0.83, 0.35, 0.43])/ np.linalg.norm([0.83, 0.35, 0.43])
-        R = _look_at(center, centroid)
-        cam_rvec = np.asarray(matrix_to_rodrigues(jnp.asarray(R, dtype=jnp.float32)))
-        cam_tvec = (-R @ center).astype(np.float32)
-
-        (calib_dir / f"{view}_{serial}_leftcam_calib.json").write_text(json.dumps({
-            "camera_matrix": K.tolist(),
-            "distortion_coeffs": [0.0] * 5,
-        }))
-        # Extrinsic record in radians with an explicit unit tag (the loader
-        # honors per-record tags over the robot's legacy default unit).
-        rec = {
-            "view": view, "cam": "leftcam", "rvec_unit": "rad",
-            "rvec_x": float(cam_rvec[0]),
-            "rvec_y": float(cam_rvec[1]),
-            "rvec_z": float(cam_rvec[2]),
-            "tvec_x": float(cam_tvec[0]),
-            "tvec_y": float(cam_tvec[1]),
-            "tvec_z": float(cam_tvec[2]),
-        }
         prefix = "pose1" if rname == "fr3" else rname
-        summary = out / f"{prefix}_aruco_pose_summary.json"
-        summary.write_text(json.dumps([rec]))
+        if args.calib_from:
+            # Held-out eval regime: share the TRAIN set's cameras exactly;
+            # only the sample angles (and image noise) are fresh.
+            src = Path(args.calib_from)
+            calib_dir = src / "calib"
+            summary = src / f"{prefix}_aruco_pose_summary.json"
+        else:
+            # Aim the camera at the robot's ACTUAL workspace: per-view base
+            # rotations re-orient the arm in world frame (fr3's view1 points
+            # it -z; fr5's left swaps axes), so a fixed make_rig target
+            # would look at the wrong half-space. Probe the FK keypoint
+            # cloud, look at its centroid from a distance scaled to its
+            # radius.
+            half_probe = ANGLE_HALF[rname]
+            probe = rng.uniform(-half_probe, half_probe, size=(256, robot.n_joints)).astype(np.float32)
+            base = jnp.asarray(robot.base_rotation(view))
+            cloud = np.asarray(
+                jax.vmap(lambda a: robot.keypoints_from_fk(forward_kinematics(robot, a, base)))(
+                    jnp.asarray(probe)
+                )
+            ).reshape(-1, 3)
+            centroid = cloud.mean(axis=0)
+            radius = float(np.linalg.norm(cloud - centroid, axis=1).max())
+            # Distance so the cloud's full extent spans ~70% of the frame.
+            dist = 2.0 * radius * args.focal_scale / 0.35
+            center = centroid + dist * np.array([0.83, 0.35, 0.43])/ np.linalg.norm([0.83, 0.35, 0.43])
+            R = _look_at(center, centroid)
+            cam_rvec = np.asarray(matrix_to_rodrigues(jnp.asarray(R, dtype=jnp.float32)))
+            cam_tvec = (-R @ center).astype(np.float32)
+
+            (calib_dir / f"{view}_{serial}_leftcam_calib.json").write_text(json.dumps({
+                "camera_matrix": K.tolist(),
+                "distortion_coeffs": [0.0] * 5,
+            }))
+            # Extrinsic record in radians with an explicit unit tag (the
+            # loader honors per-record tags over the robot's legacy default
+            # unit).
+            rec = {
+                "view": view, "cam": "leftcam", "rvec_unit": "rad",
+                "rvec_x": float(cam_rvec[0]),
+                "rvec_y": float(cam_rvec[1]),
+                "rvec_z": float(cam_rvec[2]),
+                "tvec_x": float(cam_tvec[0]),
+                "tvec_y": float(cam_tvec[1]),
+                "tvec_z": float(cam_tvec[2]),
+            }
+            summary = out / f"{prefix}_aruco_pose_summary.json"
+            summary.write_text(json.dumps([rec]))
 
         rig = load_rig(
             rname, spec["robot_name"], {serial: view},
