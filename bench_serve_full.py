@@ -298,17 +298,21 @@ def main() -> None:
     print(json.dumps({"bench": "rig_pipeline_smallframe",
                       **results["rig_pipeline_smallframe"]}), flush=True)
 
+    results["host_cores"] = os.cpu_count()
     results["note"] = (
         "h2d_ms, the full-tick sweep, and the 720p rig_pipeline rows are "
         "dominated by the tunneled-TPU transport in this environment "
         "(~17 MB/s single-stream host->device; 11 MB/tick at 4x720p, and "
-        "uploads serialize with result fetches, which is why the overlapped "
-        "720p pipeline measures SLOWER than serial). On a directly-attached "
+        "uploads serialize with result fetches). On a directly-attached "
         "v5e (PCIe ~16 GB/s) the same transfer is <1 ms and the tick is "
         "device_step-bound: ~20-33 ms full 6D (model + decode + FK + vmapped "
-        "RANSAC PnP) with the ~40 ms host undistort hidden by the "
-        "double-buffered tick - the rig_pipeline_smallframe rows measure "
-        "that overlap with the transport removed."
+        "RANSAC PnP). host_undistort_ms is the serve path's ThreadPool "
+        "remap: cv2.remap releases the GIL, so on an N-core host V cameras "
+        "cost ~one remap (~8-9 ms/camera at 720p); this bench host has "
+        "host_cores=1, so threaded ~= serial here and the measured win is "
+        "only the preallocated-dst copy. The double-buffered tick hides "
+        "whichever of host/device is smaller - the rig_pipeline_smallframe "
+        "rows measure that overlap with the transport removed."
     )
 
     with open("BENCH_SERVE.json", "w") as f:
