@@ -163,7 +163,7 @@ def main() -> None:
 
     features_j = jax.jit(features, static_argnums=(1, 2))
     results = {}
-    for variant in ("2d", "tri3d", "fk3d"):
+    for variant in args.variants:
         model = MLP()
         a0, f0 = features_j(jax.random.PRNGKey(0), 8, variant)
         params = model.init(jax.random.PRNGKey(1), f0)
@@ -200,6 +200,14 @@ def main() -> None:
         depth=args.depth, image_size=S, backend=jax.default_backend(),
         robot=robot.name,
     )
+    if noise_pool is not None:
+        results["noise_file"] = args.noise_file
+        results["noise_pool_rms_hm_px"] = [
+            round(float(v), 3)
+            for v in np.sqrt((np.asarray(noise_pool) ** 2).mean(axis=(0, 2)))
+        ]
+    elif args.noise_px > 0:
+        results["noise_px"] = args.noise_px
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(results, indent=2))
     print("FINAL", json.dumps(results))
