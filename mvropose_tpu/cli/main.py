@@ -750,7 +750,7 @@ def _cmd_train(args) -> int:
     # train step shards the state.
     raw = next(iter(train_ds.batches(min(args.batch_size, 2))))
     B0 = raw["images_u8"].shape[0]
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         if multi_view:
             V0 = raw["images_u8"].shape[1]
@@ -1517,7 +1517,7 @@ def _cmd_serve(args) -> int:
         cv2_maps, camera_Ks, camera_views = [], [], []
         # Host-side grids: compute on the CPU device (eager JAX through the
         # tunneled TPU costs minutes per camera; see _RigGeometry.remaps).
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             for key in keys:
                 matches = sorted(Path(args.calib_dir).glob(f"{key.split('_')[0]}_*_{key.split('_')[1]}_calib.json"))
                 assert matches, f"no calib file for camera key {key}"

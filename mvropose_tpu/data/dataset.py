@@ -140,7 +140,11 @@ def _gt_kp_cpu(robot):
             return project_points(pts3d, rvec, tvec, K, None)
 
         jitted = jax.jit(f)
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process cluster
+        # jax.devices() is GLOBAL, and [0] is process 0's device - pinning
+        # host-side GT math there makes the result non-addressable (and
+        # unfetchable) on every other process.
+        cpu = jax.local_devices(backend="cpu")[0]
 
         def fn(angles, base, rvec, tvec, K):
             with jax.default_device(cpu):
@@ -175,7 +179,7 @@ class _RigGeometry:
         import jax
 
         H, W = self.image_hw
-        with jax.default_device(jax.devices("cpu")[0]):
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             grids = [
                 np.asarray(undistort_map(jnp.asarray(K), jnp.asarray(d), H, W))
                 for K, d in zip(self.K, self.dist)

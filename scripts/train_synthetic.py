@@ -233,7 +233,7 @@ def main() -> None:
     # Init on the host CPU backend: the remote-TPU compile of a full init
     # graph costs minutes through the tunnel and contributes nothing (same
     # trick as bench.py, but with REAL random init, then one H2D transfer).
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         if single:
             init_imgs = jnp.zeros((1, args.image_size, args.image_size, 3), jnp.float32)

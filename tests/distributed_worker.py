@@ -26,6 +26,20 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
+def _barrier(name: str) -> None:
+    """Coordination-service barrier (plain gRPC, no Gloo).
+
+    XLA's CPU Gloo backend initializes a cross-process context at collective
+    EXECUTION with a hardcoded 30 s key-exchange window (gloo_kv_store.cc).
+    On a timeshared single-core host the workers drift minutes apart across
+    compiles and I/O, so each phase that executes a new collective program
+    (train step, orbax save, orbax restore) is fronted by one of these."""
+    from jax._src import distributed
+
+    if distributed.global_state.client is not None:
+        distributed.global_state.client.wait_at_barrier(name, timeout_in_ms=600_000)
+
+
 def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, workdir = sys.argv[3], Path(sys.argv[4])
@@ -88,7 +102,17 @@ def main() -> None:
     state = create_train_state(model, variables, tcfg)
     step = make_single_view_train_step(tcfg, mesh)
     with mesh:
-        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        # AOT-compile first, then meet at a coordination-service barrier
+        # (plain gRPC to the coordinator - no Gloo) before the first
+        # EXECUTION: Gloo's cross-process context initializes at first
+        # collective execution with a fixed 30 s key-exchange window, and
+        # on a timeshared single-core host compile-time skew between the
+        # workers (one hits the persistent compile cache, the other
+        # compiles for minutes) blows that window. Compiling apart and
+        # executing together makes the skew milliseconds.
+        compiled = step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+        _barrier("train_step_compiled")
+        state, metrics = compiled(state, batch, jax.random.PRNGKey(1))
     loss = float(metrics["loss"])  # fully-replicated output scalar
 
     # Grain loader sharded by process: record the sample indices this
@@ -126,10 +150,12 @@ def main() -> None:
     )
 
     # Orbax checkpoint: collective save across both processes, then restore.
+    _barrier("pre_checkpoint")
     ckpt = CheckpointManager(workdir / "ckpt")
     ckpt.save(int(state.step), state, CheckpointMeta(epoch=1, best_val_loss=loss))
     ckpt.wait()
     fresh = create_train_state(model, variables, tcfg)
+    _barrier("pre_restore")
     restored, meta = ckpt.restore(fresh)
     ckpt.close()
     assert int(restored.step) == 1
