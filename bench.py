@@ -1,9 +1,10 @@
 """Flagship benchmark: multi-camera pose inference throughput per TPU chip.
 
 Measures the full jitted serve step on one chip: 4-camera 512x512 batch ->
-ViT-B/16 backbone (bf16) -> masked fusion -> heatmaps + angles -> fused
-Pallas peak decode -> keypoints + confidences. One "frame" = one synchronized
-4-camera frame set (the rig unit of work).
+ViT-B/16 backbone (int8-quantized frozen matmuls; bf16 arm also reported) ->
+masked fusion -> heatmaps + angles -> fused Pallas peak decode -> keypoints +
+confidences. One "frame" = one synchronized 4-camera frame set (the rig unit
+of work).
 
 Baseline: the reference's measured 3-view full-pipeline inference at 5.61
 frames/sec on the author's GPU workstation (SURVEY.md section 6,
@@ -40,13 +41,28 @@ def main() -> None:
     from mvropose_tpu.decode import decode_keypoints
 
     cfg = _flagship_cfg(image_size=512)
-    model = MultiViewPoseEstimator(cfg)
 
-    B, V, S = 1, 4, cfg.vit.image_size
+    B, V = 1, 4
+    S = cfg.vit.image_size
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (B, V, S, S, 3), jnp.float32)
     view_ids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
     view_mask = jnp.ones((B, V), dtype=bool)
+
+    # Headline path: int8-quantized frozen backbone. The serve program is
+    # HBM-bandwidth-bound (runs/serve_breakdown.json: 116 FLOP/byte vs the
+    # v5e's 240 ridge), so halving the matmul operand streams is the direct
+    # roofline attack; accuracy parity is committed (runs/int8_bench.json
+    # pck_parity: identical PCK@5, +0.0003 px on the converged held-out eval),
+    # and `cli serve --int8-backbone` is the same production path. The bf16
+    # arm is still measured below (fps_bf16) so rounds 1-3 stay comparable.
+    import dataclasses
+
+    from mvropose_tpu.models.quantize import quantize_backbone_params
+
+    model_f = MultiViewPoseEstimator(cfg)
+    qcfg = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit, quant="int8"))
+    model = MultiViewPoseEstimator(qcfg)
 
     # Build params WITHOUT compiling an init program on the TPU (the remote
     # compile of a full init graph costs minutes and contributes nothing to a
@@ -56,9 +72,15 @@ def main() -> None:
     from mvropose_tpu.utils.initializers import random_variables
 
     shapes = jax.eval_shape(
-        lambda k: model.init(k, images, view_ids, view_mask), jax.random.PRNGKey(0)
+        lambda k: model_f.init(k, images, view_ids, view_mask), jax.random.PRNGKey(0)
     )
-    variables = random_variables(shapes)
+    variables_f = random_variables(shapes)
+    params_f = jax.device_get(variables_f["params"])
+    params_q = dict(params_f)
+    params_q["backbone"] = quantize_backbone_params(params_f["backbone"])
+    variables = jax.device_put(
+        {**variables_f, "params": jax.tree_util.tree_map(jnp.asarray, params_q)}
+    )
 
     use_pallas = jax.default_backend() == "tpu"
 
@@ -129,17 +151,46 @@ def main() -> None:
     dt_j = min(run_chain(iters + 1, serve_step) - t1_j for _ in range(2))
     fps_jitted = iters * B / dt_j
 
+    # bf16 arm (rounds 1-3's headline path): same protocol, float backbone,
+    # so the int8 promotion stays attributable round-over-round.
+    @jax.jit
+    def serve_step_f(variables, images, view_ids, view_mask, eps):
+        heatmaps, angles = model_f.apply(variables, images + eps, view_ids, view_mask)
+        xy, conf = decode_keypoints(
+            heatmaps, image_hw=(720, 1280), mode="argmax", use_pallas=use_pallas
+        )
+        return xy, conf, angles
+
+    compiled_f = serve_step_f.lower(
+        variables_f, images, view_ids, view_mask, eps0
+    ).compile()
+
+    def run_chain_f(n):
+        eps = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            xy, conf, angles = compiled_f(variables_f, images, view_ids, view_mask, eps)
+            eps = jnp.reshape(conf, (-1,))[0] * 1e-12
+        float(jax.device_get(eps))
+        return time.perf_counter() - t0
+
+    run_chain_f(2)  # warmup
+    t1_f = min(run_chain_f(1) for _ in range(3))
+    dt_f = min(run_chain_f(iters + 1) - t1_f for _ in range(3))
+    fps_bf16 = iters * B / dt_f
+
     print(
         json.dumps(
             {
                 "metric": "multi_cam_frames_per_sec_per_chip",
                 "value": round(fps, 3),
-                "unit": "frame-sets/s (4cam@512px ViT-B/16 + decode)",
+                "unit": "frame-sets/s (4cam@512px ViT-B/16 int8-backbone + decode)",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "fps_median": round(med, 3),
                 "fps_min": round(fps_chains[-1], 3),
                 "fps_spread_pct": round(spread_pct, 1),
                 "fps_jitted_call": round(fps_jitted, 3),
+                "fps_bf16": round(fps_bf16, 3),
                 "chains": reps,
                 "tflops_per_step": round(flops / 1e12, 3),
                 "achieved_tflops_per_sec": round(flops / step_s / 1e12, 2),
