@@ -111,48 +111,57 @@ def main() -> None:
 
     peak = peak_flops(jax.devices()[0])
 
-    def run_chain(n, call):
+    def run_chain(n, call, call_vars):
         """n chained steps ending in a scalar fetch; returns wall seconds.
 
-        `call` is either the AOT `compiled` executable (default headline;
-        same pattern as bench_train.bench_step - re-invoking the jitted
-        serve_step would re-trace the identical program the cost-analysis
-        lowering already built) or the jitted `serve_step` itself (the A/B
-        arm: rounds 1-2 timed through the jitted dispatch path, round 3
-        switched to AOT, so both are reported to make round-over-round
-        moves attributable to the session, not the call path)."""
+        `call` is either an AOT compiled executable (default headline; same
+        pattern as bench_train.bench_step - re-invoking the jitted serve_step
+        would re-trace the identical program the cost-analysis lowering
+        already built) or a jitted function (the A/B arm: rounds 1-2 timed
+        through the jitted dispatch path, round 3 switched to AOT, so both
+        are reported to make round-over-round moves attributable to the
+        session, not the call path). NOTE: since r4 the A/B arm runs the
+        int8 program (the headline's), no longer comparable to r1-r2's
+        bf16-program jitted numbers - fps_jitted_call_program records that."""
         eps = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
-            xy, conf, angles = call(variables, images, view_ids, view_mask, eps)
+            xy, conf, angles = call(call_vars, images, view_ids, view_mask, eps)
             eps = jnp.reshape(conf, (-1,))[0] * 1e-12  # tiny but nonzero: no constant folding
         float(jax.device_get(eps))  # forces the whole chain
         return time.perf_counter() - t0
 
-    run_chain(2, compiled)  # warmup / compile
     iters = 20
     reps = 5
-    # Variance protocol: >= 5 independent chains. Per-chain throughput uses a
-    # shared 1-chain offset (min over reps) to difference out the dispatch
-    # round-trip; the headline stays best-of (comparable with BENCH_r01-r03),
-    # with median/min/spread carried so a cross-session move can be told from
-    # tunnel noise.
-    t1 = min(run_chain(1, compiled) for _ in range(reps))
-    dts = sorted(run_chain(iters + 1, compiled) - t1 for _ in range(reps))
-    fps_chains = [iters * B / d for d in dts]
-    fps = fps_chains[0]  # best chain (min dt), the r01-r03 headline protocol
-    step_s = dts[0] / iters
-    med = fps_chains[len(fps_chains) // 2]
-    spread_pct = 100.0 * (fps_chains[0] - fps_chains[-1]) / med
 
-    # A/B arm: same chain through the jitted call path (r2's protocol).
-    run_chain(1, serve_step)  # absorb first-call dispatch setup
-    t1_j = min(run_chain(1, serve_step) for _ in range(2))
-    dt_j = min(run_chain(iters + 1, serve_step) - t1_j for _ in range(2))
+    def chain_protocol(call, call_vars):
+        """The variance protocol, shared by the int8 headline and bf16 arms:
+        >= 5 independent chains. Per-chain throughput uses a shared 1-chain
+        offset (min over reps) to difference out the dispatch round-trip; the
+        headline stays best-of (comparable with BENCH_r01-r03), with
+        median/min/spread carried so a cross-session move can be told from
+        tunnel noise."""
+        run_chain(2, call, call_vars)  # warmup / compile
+        t1 = min(run_chain(1, call, call_vars) for _ in range(reps))
+        dts = sorted(run_chain(iters + 1, call, call_vars) - t1 for _ in range(reps))
+        fps_chains = [iters * B / d for d in dts]
+        med = fps_chains[len(fps_chains) // 2]
+        spread = 100.0 * (fps_chains[0] - fps_chains[-1]) / med
+        return fps_chains, dts[0] / iters, med, spread
+
+    fps_chains, step_s, med, spread_pct = chain_protocol(compiled, variables)
+    fps = fps_chains[0]  # best chain (min dt), the r01-r03 headline protocol
+
+    # A/B arm: same chain through the jitted call path (r2's protocol shape,
+    # but running the int8 program since r4 - see run_chain's docstring).
+    run_chain(1, serve_step, variables)  # absorb first-call dispatch setup
+    t1_j = min(run_chain(1, serve_step, variables) for _ in range(2))
+    dt_j = min(run_chain(iters + 1, serve_step, variables) - t1_j for _ in range(2))
     fps_jitted = iters * B / dt_j
 
-    # bf16 arm (rounds 1-3's headline path): same protocol, float backbone,
-    # so the int8 promotion stays attributable round-over-round.
+    # bf16 arm (rounds 1-3's headline path): the FULL headline protocol
+    # (5 chains, median/min/spread) on the float backbone, so the int8
+    # promotion stays attributable round-over-round.
     @jax.jit
     def serve_step_f(variables, images, view_ids, view_mask, eps):
         heatmaps, angles = model_f.apply(variables, images + eps, view_ids, view_mask)
@@ -164,20 +173,21 @@ def main() -> None:
     compiled_f = serve_step_f.lower(
         variables_f, images, view_ids, view_mask, eps0
     ).compile()
+    cost_f = compiled_f.cost_analysis()
+    if isinstance(cost_f, list):
+        cost_f = cost_f[0]
+    flops_f = float(cost_f.get("flops", 0.0))
 
-    def run_chain_f(n):
-        eps = jnp.zeros((), jnp.float32)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            xy, conf, angles = compiled_f(variables_f, images, view_ids, view_mask, eps)
-            eps = jnp.reshape(conf, (-1,))[0] * 1e-12
-        float(jax.device_get(eps))
-        return time.perf_counter() - t0
+    fps_chains_f, step_s_f, med_f, spread_f = chain_protocol(compiled_f, variables_f)
+    fps_bf16 = fps_chains_f[0]
 
-    run_chain_f(2)  # warmup
-    t1_f = min(run_chain_f(1) for _ in range(3))
-    dt_f = min(run_chain_f(iters + 1) - t1_f for _ in range(3))
-    fps_bf16 = iters * B / dt_f
+    # MFU, each program against ITS OWN peak: the bf16 program vs the chip's
+    # bf16 peak (the roofline number, comparable with r1-r3), and the int8
+    # program vs the chip's int8 peak (~2x bf16 on v5e) - dividing int8-program
+    # FLOPs by the bf16 peak would overstate MXU utilization ~2x (r4's mistake).
+    from bench_train import peak_int8_ops
+
+    peak_i8 = peak_int8_ops(jax.devices()[0])
 
     print(
         json.dumps(
@@ -190,11 +200,16 @@ def main() -> None:
                 "fps_min": round(fps_chains[-1], 3),
                 "fps_spread_pct": round(spread_pct, 1),
                 "fps_jitted_call": round(fps_jitted, 3),
+                "fps_jitted_call_program": "int8",  # bf16 in r1-r2; int8 since r4
                 "fps_bf16": round(fps_bf16, 3),
+                "fps_bf16_median": round(med_f, 3),
+                "fps_bf16_min": round(fps_chains_f[-1], 3),
+                "fps_bf16_spread_pct": round(spread_f, 1),
                 "chains": reps,
                 "tflops_per_step": round(flops / 1e12, 3),
                 "achieved_tflops_per_sec": round(flops / step_s / 1e12, 2),
-                "mfu": round(flops / step_s / peak, 4) if peak else None,
+                "mfu_bf16": round(flops_f / step_s_f / peak, 4) if peak else None,
+                "mfu_int8": round(flops / step_s / peak_i8, 4) if peak_i8 else None,
             }
         )
     )

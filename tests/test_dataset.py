@@ -285,6 +285,43 @@ def test_grain_endless_stream_reshuffles_per_epoch(tmp_path, rig):
     assert epochs[0] != epochs[1] or epochs[1] != epochs[2]  # reshuffled
 
 
+def test_grain_resume_seed_changes_permutation(tmp_path, rig):
+    """cli train seeds a checkpoint-resumed grain stream with
+    seed + 1000003 * start_epoch (cli/main.py train_batches): the resumed
+    epoch's permutation must differ from epoch 0's, so a resume does NOT
+    silently replay epoch 0's sample order (VERDICT r4 #7)."""
+    from mvropose_tpu.data.grain_loader import make_grain_loader
+
+    samples = []
+    for i in range(8):
+        p = tmp_path / f"zed_41182735_left_{7200 + i}.0.jpg"
+        _write_img(p, i)
+        samples.append(
+            SingleViewSample(
+                image_path=str(p), camera_key="front_leftcam", view="front",
+                angles=np.array([float(i), -20, 30, 0, 45, 0], np.float32),
+            )
+        )
+    ds = SingleViewDataset(samples, rig, (H, W))
+
+    def first_epoch_order(start_epoch):
+        it = iter(
+            make_grain_loader(
+                ds, batch_size=4, shuffle=True,
+                seed=7 + 1000003 * start_epoch, num_epochs=None,
+            )
+        )
+        order = []
+        for _ in range(2):
+            order.extend(next(it)["angles"][:, 0].tolist())
+        return order
+
+    fresh = first_epoch_order(0)
+    resumed = first_epoch_order(60)
+    assert sorted(fresh) == sorted(resumed) == [float(i) for i in range(8)]
+    assert fresh != resumed
+
+
 def test_host_vs_device_undistortion_parity(tmp_path):
     """Host cv2.remap and the device gather remap agree on a distorted rig."""
     import cv2
