@@ -148,7 +148,13 @@ def load_rig(
     schema written by the reference's Calib_cam_save scripts and by our
     `mvropose_tpu.cli calibrate`).
     aruco_summary_paths: one `*_aruco_pose_summary.json` path, or a mapping
-    {pose_name: path} for multi-pose rigs (FR3's pose1/pose2).
+    {pose_name: path-or-list-of-paths} for multi-pose rigs (FR3's
+    pose1/pose2). A LIST per pose exists for mixed-robot runs that share one
+    artifact set: several robots each ship an UNPREFIXED summary (fr5 +
+    meca_insertion), and collapsing them to one dict slot would silently
+    drop all but the last robot's extrinsics. Records from later paths win
+    on a {view}_{cam} key collision - per-run view names must be disjoint
+    (they are in the mixed synthetic sets).
     """
     robot = get_robot(robot_name)
     calibs: Dict[str, CameraCalib] = {}
@@ -167,13 +173,16 @@ def load_rig(
     if aruco_summary_paths is not None:
         if isinstance(aruco_summary_paths, (str, Path)):
             aruco_summary_paths = {"": aruco_summary_paths}
-        for pose_name, path in aruco_summary_paths.items():
-            records = json.loads(Path(path).read_text())
-            for rec in records:
-                key = f"{rec['view']}_{rec['cam']}"
-                if pose_name:
-                    key = f"{pose_name}_{key}"
-                extrinsics[key] = _load_extrinsic_record(rec, robot.extrinsic_rvec_unit)
+        for pose_name, paths in aruco_summary_paths.items():
+            if isinstance(paths, (str, Path)):
+                paths = [paths]
+            for path in paths:
+                records = json.loads(Path(path).read_text())
+                for rec in records:
+                    key = f"{rec['view']}_{rec['cam']}"
+                    if pose_name:
+                        key = f"{pose_name}_{key}"
+                    extrinsics[key] = _load_extrinsic_record(rec, robot.extrinsic_rvec_unit)
 
     return RigSpec(
         name=name,

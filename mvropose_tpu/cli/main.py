@@ -313,11 +313,13 @@ def _load_rig_from_args(args):
 
         # A summary named pose<N>_... keys its extrinsics with that pose
         # prefix (FR3's pose1/pose2 convention); other names are unprefixed.
+        # Several unprefixed summaries accumulate (mixed-robot runs share one
+        # artifact set; load_rig merges the record lists).
         aruco = {}
         for p in (Path(p) for p in args.aruco_summary):
             tok = p.stem.split("_")[0]
             prefix = tok if re.fullmatch(r"pose\d+", tok) else ""
-            aruco[prefix] = p
+            aruco.setdefault(prefix, []).append(p)
     return load_rig(
         args.robot,
         robot,
@@ -550,9 +552,24 @@ def _cmd_train(args) -> int:
                 "files (one per robot, in order)"
             )
         if args.fk_loss_weight > 0:
+            # The FK term projects FK(pred angles) through per-sample
+            # extrinsics; with heterogeneous robots that would need a
+            # robot-indexed lax.switch over FK chains PLUS per-robot
+            # extrinsics in the padded batches, which data/mixed.py does not
+            # ship (its children run with_extrinsics=False by construction).
             raise SystemExit("--fk-loss-weight is not supported with mixed robots")
-        if args.angle_head != "query":
-            raise SystemExit("mixed-robot training supports --angle-head query")
+        if args.angle_head == "geometric3d":
+            # geometric3d is multi-view only (its DLT branch triangulates
+            # across views); mixed batches are single-image rows.
+            raise SystemExit(
+                "mixed-robot training supports --angle-head query or "
+                "geometric (geometric3d is multi-view only)"
+            )
+        # "geometric" works mixed as-is: it regresses angles from the
+        # model's own decoded keypoints + confidences, which are
+        # robot-agnostic features (padded channels train to zero heatmaps,
+        # decode to ~0 confidence, and the angle_mask drops padded angle
+        # slots from the loss) - no FK chain enters the head.
         # fr3 in a mixed run always contributes its single-view regime
         # (heterogeneous batches are single-image rows; --single-view implied).
         from mvropose_tpu.data.mixed import MixedRobotDataset
@@ -630,24 +647,25 @@ def _cmd_train(args) -> int:
     _write_model_config(args.workdir, cfg, multi_view, args.model_size)
 
     # Parallel host input pipeline (the reference fed its GPUs with 8
-    # DataLoader worker processes, /root/reference/model/DREAM_Train.py:734).
-    # grain workers cover decode + ROI + host undistort; geometry stays in
-    # the parent / on device. The grain path drops the final partial batch
-    # (static shapes, no padding), so it only engages when the dataset has
-    # at least one full batch; the extrinsics-carrying variants (FK loss,
-    # multi-view geometric3d) keep the in-process loader, whose padded
-    # batches ship the rvec/tvec/K fields grain's fixed schema omits.
+    # DataLoader worker processes for BOTH trainers,
+    # /root/reference/model/DREAM_Train.py:734, MvRoPose_FR3.py:958-965).
+    # grain workers cover decode + ROI + host undistort; geometry
+    # (resolution, FK, projection) stays in the parent / on device. Covers
+    # single-view AND multi-view/grouped datasets, including the
+    # extrinsics-carrying variants (FK loss, multi-view geometric3d). The
+    # grain path drops the final partial batch (static shapes, no padding),
+    # so it only engages when the dataset has at least one full batch; the
+    # mixed-robot dataset keeps its in-process loader (its batches interleave
+    # per-child maps with per-robot angle rescaling and arity padding).
     use_grain = (
         args.num_workers > 0
-        and not multi_view
         and not mixed
-        and not getattr(train_ds, "with_extrinsics", False)
         and len(train_ds) >= args.batch_size
     )
     if args.num_workers > 0 and not use_grain:
         print(
-            "note: --num-workers parallel loading needs the single-view "
-            "non-extrinsics path and >= 1 full batch; using in-process loading"
+            "note: --num-workers parallel loading needs a non-mixed dataset "
+            "with >= 1 full batch; using in-process loading"
         )
 
     mesh = make_mesh(*args.mesh) if args.mesh else make_mesh()

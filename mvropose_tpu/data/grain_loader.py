@@ -19,6 +19,7 @@ import numpy as np
 import grain
 
 from mvropose_tpu.data.dataset import (
+    MultiViewDataset,
     SingleViewDataset,
     _apply_roi_and_undistort,
     _load_image_rgb,
@@ -40,6 +41,7 @@ class _SampleMap:
         self.geometry = dataset.geometry
         self.undistort_on_host = dataset.undistort_on_host
         self.has_kp3d = dataset.has_kp3d
+        self.with_extrinsics = dataset.with_extrinsics
         # Precompute (JAX) GT keypoints in the parent process; workers only
         # ever see numpy. Also force the cv2 remap tables into the instance
         # dict now - the cached_property computes them via JAX too.
@@ -52,6 +54,22 @@ class _SampleMap:
             )
             for s in self.samples
         ]
+        if self.with_extrinsics:
+            # Same per-sample fields as SingleViewDataset.batches: the
+            # FK-consistency loss / pose-eval inputs (rvec, tvec, K,
+            # base_rotation), resolved once in the parent.
+            rig = self.geometry.rig
+            self.extr = []
+            for s in self.samples:
+                ek = dataset.extr_key_fn(s) if dataset.extr_key_fn else None
+                extr = rig.extrinsics.get(ek or s.camera_key)
+                rvec = np.asarray(extr.rvec, np.float32) if extr is not None else np.zeros(3, np.float32)
+                tvec = np.asarray(extr.tvec, np.float32) if extr is not None else np.array([0, 0, 1], np.float32)
+                self.extr.append((
+                    rvec, tvec,
+                    np.asarray(rig.calibs[s.camera_key].camera_matrix, np.float32),
+                    np.asarray(rig.robot.base_rotation(s.view), np.float32),
+                ))
         if self.undistort_on_host and any(s.roi is None for s in self.samples):
             _ = self.geometry.cv2_maps
 
@@ -72,6 +90,9 @@ class _SampleMap:
         }
         if self.has_kp3d:
             out["keypoints_3d_cam"] = np.zeros((J, 3), np.float32)
+        if self.with_extrinsics:
+            rvec, tvec, K, base = self.extr[idx]
+            out.update(rvec=rvec, tvec=tvec, K=K, base_rotation=base)
         img = _load_image_rgb(s.image_path)
         if img is None:
             return out
@@ -90,8 +111,121 @@ class _SampleMap:
         return out
 
 
+class _GroupSampleMap:
+    """Index -> fixed-shape multi-view group dict (picklable for grain
+    workers) - the parallel-decode form of MultiViewDataset.batches.
+
+    The paper's main model is the multi-view one and the reference fed it
+    with 8 DataLoader workers (/root/reference/model/MvRoPose_FR3.py:958-965);
+    round 4's grain path covered only single-view. Resolution (serial/calib/
+    extrinsic lookups) and GT keypoints (JAX FK + projection) happen ONCE in
+    the parent; workers decode JPEGs, gate shapes, and cv2.remap-undistort.
+    """
+
+    def __init__(self, dataset: MultiViewDataset):
+        self.geometry = dataset.geometry
+        self.max_views = dataset.max_views
+        self.undistort_on_host = dataset.undistort_on_host
+        self.with_extrinsics = dataset.with_extrinsics
+        rig = self.geometry.rig
+        A = rig.robot.n_joints
+        self.angles = np.zeros((len(dataset.groups), A), np.float32)
+        # Per group: list of length max_views; slot v holds None (unresolved)
+        # or a dict of everything but the pixels - identical slot semantics
+        # to MultiViewDataset.batches (an unresolvable view leaves its slot
+        # masked, it does not compact later views down).
+        self.views = []
+        for gi, g in enumerate(dataset.groups):
+            raw = np.asarray(g["joint_angles"], np.float32)
+            if dataset.angles_transform:
+                raw = dataset.angles_transform(raw)
+            self.angles[gi] = raw[:A]
+            slots = []
+            for v, vd in enumerate(g["views"][: self.max_views]):
+                rv = dataset._resolve_view(vd["image_path"])
+                if rv is None:
+                    slots.append(None)
+                    continue
+                from mvropose_tpu.data.dataset import SingleViewSample
+
+                sample = SingleViewSample(
+                    image_path=rv["image_path"], camera_key=rv["camera_key"],
+                    view=rv["view"], angles=self.angles[gi],
+                )
+                kp = np.asarray(
+                    self.geometry.gt_keypoints(sample, rv["extr_key"]), np.float32
+                )
+                slot = {
+                    "image_path": rv["image_path"],
+                    "cam_idx": self.geometry.key_to_idx[rv["camera_key"]],
+                    "view_id": rig.view_index(rv["serial"], rv["cam"]),
+                    "kp": kp,
+                }
+                if self.with_extrinsics:
+                    extr = rig.extrinsics[rv["extr_key"]]
+                    slot.update(
+                        rvec=np.asarray(extr.rvec, np.float32),
+                        tvec=np.asarray(extr.tvec, np.float32),
+                        K=np.asarray(
+                            rig.calibs[rv["camera_key"]].camera_matrix, np.float32
+                        ),
+                        base=np.asarray(
+                            rig.robot.base_rotation(rv["view"]), np.float32
+                        ),
+                    )
+                slots.append(slot)
+            self.views.append(slots)
+        if self.undistort_on_host:
+            _ = self.geometry.cv2_maps
+
+    def __len__(self) -> int:
+        return len(self.views)
+
+    def __call__(self, idx: int) -> dict:
+        H, W = self.geometry.image_hw
+        rig = self.geometry.rig
+        V, J = self.max_views, rig.num_keypoints
+        out = {
+            "images_u8": np.zeros((V, H, W, 3), np.uint8),
+            "view_ids": np.zeros((V,), np.int32),
+            "view_mask": np.zeros((V,), bool),
+            "cam_idx": np.zeros((V,), np.int32),
+            "angles": self.angles[idx],
+            "keypoints_2d": np.zeros((V, J, 2), np.float32),
+            "sample_weight": np.float32(0.0),
+        }
+        if self.with_extrinsics:
+            out["rvec"] = np.zeros((V, 3), np.float32)
+            out["tvec"] = np.zeros((V, 3), np.float32)
+            out["tvec"][:, 2] = 1.0
+            out["K"] = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+            out["base_rotation"] = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+        any_view = False
+        for v, slot in enumerate(self.views[idx]):
+            if slot is None:
+                continue
+            img = _load_image_rgb(slot["image_path"])
+            if img is None or img.shape[:2] != (H, W):
+                continue
+            if self.undistort_on_host:
+                img = self.geometry.undistort_host(img, slot["cam_idx"])
+            out["images_u8"][v] = img
+            out["view_ids"][v] = slot["view_id"]
+            out["cam_idx"][v] = slot["cam_idx"]
+            out["keypoints_2d"][v] = slot["kp"]
+            out["view_mask"][v] = True
+            any_view = True
+            if self.with_extrinsics:
+                out["rvec"][v] = slot["rvec"]
+                out["tvec"][v] = slot["tvec"]
+                out["K"][v] = slot["K"]
+                out["base_rotation"][v] = slot["base"]
+        out["sample_weight"] = np.float32(1.0 if any_view else 0.0)
+        return out
+
+
 def make_grain_loader(
-    dataset: SingleViewDataset,
+    dataset: SingleViewDataset | MultiViewDataset,
     batch_size: int,
     shuffle: bool = False,
     seed: int = 0,
@@ -100,20 +234,18 @@ def make_grain_loader(
     shard_index: int = 0,
     shard_count: int = 1,
 ):
-    """-> iterable of fixed-shape host batches (same schema as
-    SingleViewDataset.batches, minus ragged final batches: grain drops the
-    remainder to keep shapes static).
+    """-> iterable of fixed-shape host batches (same schema as the dataset's
+    own .batches - single-view or multi-view, including the with_extrinsics
+    fields - minus ragged final batches: grain drops the remainder to keep
+    shapes static).
 
     num_epochs follows grain's own convention: None repeats FOREVER (an
     endless training stream), an int n yields n passes.
     """
-    if dataset.with_extrinsics:
-        raise ValueError(
-            "make_grain_loader does not emit the with_extrinsics fields "
-            "(rvec/tvec/K/base_rotation); use SingleViewDataset.batches for "
-            "the FK-consistency / pose-eval paths"
-        )
-    sample_map = _SampleMap(dataset)
+    if isinstance(dataset, MultiViewDataset):
+        sample_map = _GroupSampleMap(dataset)
+    else:
+        sample_map = _SampleMap(dataset)
     ds = grain.MapDataset.range(len(sample_map))
     if shard_count > 1:
         ds = ds[shard_index::shard_count]

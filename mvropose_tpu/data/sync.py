@@ -290,10 +290,20 @@ def sync_meca_insertion(
     image_dirs: Sequence[str | Path],
     robot_data_txt: str | Path,
     cfg: SyncConfig = SyncConfig(tolerance_s=0.05),
-    n_joints: int = 6,
+    n_joints: int = 7,
 ) -> pd.DataFrame:
     """Meca insertion: robot_data.txt CSV rows of
-    timestamp, j1..jn, cartesian... matched to image filename timestamps."""
+    timestamp, j1..jn, cartesian... matched to image filename timestamps.
+
+    The reference reads SEVEN joint columns from the 12-value rows
+    (timestamp + 7 joints + 5 cartesian,
+    /root/reference/sync/Meca_insertion_sync.py:48-54), even though the
+    Meca500 arm is 6-dof - the 7th column is the tool/gripper channel of the
+    insertion rig's log. The matched CSV therefore carries joint_1..joint_7;
+    the meca_insertion dataset builder consumes the 6 actuated Meca500
+    joints (builders.build_meca_insertion_single_view reads
+    joint_1..joint_{n_joints of the FK spec}) and joint_7 rides along for
+    schema parity."""
     records = []
     with open(robot_data_txt) as f:
         for line in f:

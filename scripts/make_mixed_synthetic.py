@@ -34,15 +34,24 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# One camera per robot; disjoint view names keep a SHARED calib dir clean.
+# One camera per robot; disjoint VIEW names keep a SHARED calib dir clean
+# (calib files and extrinsic records key by {view}_{cam} with no serial, so
+# two robots reusing a view name would collide). meca_insertion runs Meca500
+# kinematics on its own rig (registry MECA_INSERTION_SERIAL_TO_VIEW serial
+# 41182735 -> "front"; do not combine it with meca500 in one generated set -
+# they share the view name); its native artifact is robot_data.txt
+# (timestamp + 7 joints + 5 cartesian,
+# /root/reference/sync/Meca_insertion_sync.py:48-54), synced to a CSV by the
+# real sync_meca_insertion path below - not a hand-written CSV.
 ROBOT_CAMERA = {
     "fr5": {"serial": "38007749", "view": "left", "robot_name": "fr5"},
     "fr3": {"serial": "41182735", "view": "view1", "robot_name": "fr3"},
     "meca500": {"serial": "41182735", "view": "front", "robot_name": "meca500"},
+    "meca_insertion": {"serial": "41182735", "view": "front", "robot_name": "meca500"},
 }
 # Native-unit angle half-ranges (keeps every FK keypoint in frame at the
 # default camera; degrees for fr5/meca, radians for fr3).
-ANGLE_HALF = {"fr5": 45.0, "fr3": 0.55, "meca500": 40.0}
+ANGLE_HALF = {"fr5": 45.0, "fr3": 0.55, "meca500": 40.0, "meca_insertion": 40.0}
 
 
 def main() -> int:
@@ -155,6 +164,7 @@ def main() -> int:
         angles = rng.uniform(-half, half, size=(args.n_samples, robot.n_joints)).astype(np.float32)
         img_dir = out / rname / ("pose1" if rname == "fr3" else "images")
         img_dir.mkdir(parents=True, exist_ok=True)
+        txt_lines = ["timestamp,j1,j2,j3,j4,j5,j6,j7,x,y,z,a,b"]  # meca_insertion only
 
         palette = jnp.asarray(joint_palette(rig.num_keypoints))
         rows = []
@@ -179,6 +189,16 @@ def main() -> int:
                 ts = 1000.0 + i
                 path = img_dir / f"zed_{serial}_left_{ts}.jpg"
                 cv2.imwrite(str(path), imgs[i - s][..., ::-1])
+                if rname == "meca_insertion":
+                    # Native log row: ts + 7 joints (6 actuated + tool
+                    # channel) + 5 cartesian; the CSV comes from the REAL
+                    # sync path after the loop.
+                    txt_lines.append(",".join(
+                        [f"{ts}"]
+                        + [f"{float(angles[i, j])}" for j in range(robot.n_joints)]
+                        + ["0.0"] + ["0.0"] * 5
+                    ))
+                    continue
                 if rname == "fr3":
                     row = {"image_path": str(path)}
                     row.update({f"position_fr3_joint{j + 1}": float(angles[i, j])
@@ -188,6 +208,15 @@ def main() -> int:
                     row.update({f"joint_{j + 1}": float(angles[i, j])
                                 for j in range(robot.n_joints)})
                 rows.append(row)
+        if rname == "meca_insertion":
+            from mvropose_tpu.data.sync import SyncConfig, sync_meca_insertion
+
+            txt = out / rname / "robot_data.txt"
+            txt.write_text("\n".join(txt_lines))
+            df = sync_meca_insertion([img_dir], txt, SyncConfig(tolerance_s=0.05))
+            df.to_csv(out / f"{rname}.csv", index=False)
+            print(f"wrote {out / f'{rname}.csv'} ({len(df)} rows via sync_meca_insertion)")
+            continue
         import pandas as pd
 
         pd.DataFrame(rows).to_csv(out / f"{rname}.csv", index=False)

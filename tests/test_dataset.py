@@ -285,6 +285,63 @@ def test_grain_endless_stream_reshuffles_per_epoch(tmp_path, rig):
     assert epochs[0] != epochs[1] or epochs[1] != epochs[2]  # reshuffled
 
 
+def test_grain_multiview_matches_direct_batches(tmp_path, rig):
+    """The multi-view grain path (VERDICT r4 #2: the paper's main model was
+    the one dataset still decoding serially) emits batches IDENTICAL to
+    MultiViewDataset.batches - images, view_ids/view_mask, GT keypoints, and
+    the with_extrinsics fields the geometric3d head consumes."""
+    from mvropose_tpu.data.grain_loader import make_grain_loader
+
+    groups = []
+    for g in range(4):
+        views = [{"image_path": "does_not_resolve.jpg"}]  # unresolvable slot
+        for side in ("left", "right"):
+            p = tmp_path / f"zed_41182735_{side}_{8000 + g}.0.jpg"
+            _write_img(p, 10 + g)
+            views.append({"image_path": str(p)})
+        groups.append(
+            {"views": views, "joint_angles": [10.0 * g, -20, 30, 0, 45, 0],
+             "timestamp": float(g)}
+        )
+    ds = MultiViewDataset(groups, rig, (H, W), with_extrinsics=True)
+    direct = next(ds.batches(batch_size=4))
+    grain_b = next(iter(make_grain_loader(ds, batch_size=4)))
+    for k in ("images_u8", "view_ids", "view_mask", "cam_idx", "angles",
+              "keypoints_2d", "sample_weight", "rvec", "tvec", "K",
+              "base_rotation"):
+        np.testing.assert_array_equal(
+            np.asarray(grain_b[k]), np.asarray(direct[k]), err_msg=k
+        )
+    # The unresolvable first slot stays masked in both (no compaction).
+    assert not grain_b["view_mask"][:, 0].any()
+    assert grain_b["view_mask"][:, 1:3].all()
+
+
+def test_grain_single_view_extrinsics_fields(tmp_path, rig):
+    """with_extrinsics single-view datasets (FK-consistency loss inputs) now
+    route through grain too: rvec/tvec/K/base_rotation match the direct
+    batches."""
+    from mvropose_tpu.data.grain_loader import make_grain_loader
+
+    samples = []
+    for i in range(4):
+        p = tmp_path / f"zed_41182735_left_{8100 + i}.0.jpg"
+        _write_img(p, i)
+        samples.append(
+            SingleViewSample(
+                image_path=str(p), camera_key="front_leftcam", view="front",
+                angles=np.array([float(i), -20, 30, 0, 45, 0], np.float32),
+            )
+        )
+    ds = SingleViewDataset(samples, rig, (H, W), with_extrinsics=True)
+    direct = next(ds.batches(batch_size=4))
+    grain_b = next(iter(make_grain_loader(ds, batch_size=4)))
+    for k in ("images_u8", "keypoints_2d", "rvec", "tvec", "K", "base_rotation"):
+        np.testing.assert_array_equal(
+            np.asarray(grain_b[k]), np.asarray(direct[k]), err_msg=k
+        )
+
+
 def test_grain_resume_seed_changes_permutation(tmp_path, rig):
     """cli train seeds a checkpoint-resumed grain stream with
     seed + 1000003 * start_epoch (cli/main.py train_batches): the resumed
@@ -452,10 +509,12 @@ def test_grain_loader_num_epochs_none_repeats_forever(tmp_path, rig):
         b = next(it)  # must never StopIteration
     assert b["images_u8"].shape[0] == 2
 
-    # with_extrinsics is not in the grain schema - must refuse loudly.
+    # with_extrinsics joined the grain schema in r5 (it used to refuse):
+    # the loader must now emit the FK-loss fields.
     ds.with_extrinsics = True
-    with pytest.raises(ValueError, match="with_extrinsics"):
-        make_grain_loader(ds, batch_size=2)
+    b = next(iter(make_grain_loader(ds, batch_size=2)))
+    for k in ("rvec", "tvec", "K", "base_rotation"):
+        assert k in b, k
 
 
 def test_multiview_malformed_filename_skipped(tmp_path, rig):

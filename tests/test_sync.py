@@ -146,11 +146,18 @@ def test_sync_meca500(tmp_path):
 
 
 def test_sync_meca_insertion(tmp_path):
+    """Reference robot_data.txt layout: timestamp + 7 joints + 5 cartesian
+    (/root/reference/sync/Meca_insertion_sync.py:48-54 reads
+    num_joint_angles = 7 even though the Meca500 arm is 6-dof - the 7th is
+    the insertion rig's tool channel). The matched CSV must carry all seven
+    joint columns; the builder later consumes the 6 actuated ones."""
     txt = tmp_path / "robot_data.txt"
-    lines = ["timestamp,j1,j2,j3,j4,j5,j6,x,y,z,a,b"]  # header must be skipped
+    lines = ["timestamp,j1,j2,j3,j4,j5,j6,j7,x,y,z,a,b"]  # header must be skipped
     for i in range(3):
         ts = 2000.0 + i
-        lines.append(",".join(str(v) for v in [ts] + [0.5 * i] * 6 + [1, 2, 3, 4, 5]))
+        lines.append(
+            ",".join(str(v) for v in [ts] + [0.5 * i] * 6 + [9.0] + [1, 2, 3, 4, 5])
+        )
     txt.write_text("\n".join(lines))
     img_dir = tmp_path / "imgs"
     for i in range(3):
@@ -158,7 +165,8 @@ def test_sync_meca_insertion(tmp_path):
 
     df = sync_meca_insertion([img_dir], txt, SyncConfig(tolerance_s=0.05))
     assert len(df) == 3
-    assert "cartesian_0" in df.columns
+    assert "joint_7" in df.columns and sorted(set(df["joint_7"])) == [9.0]
+    assert "cartesian_0" in df.columns and sorted(set(df["cartesian_0"])) == [1.0]
 
 
 def test_grouping_reference_semantics():
