@@ -967,10 +967,12 @@ def _eval_mixed(args) -> int:
     return 0
 
 
-def _int8ify(model_cls, cfg, variables):
+def _int8ify(model_cls, cfg, variables, attn: bool = False):
     """Quantize a loaded float checkpoint's backbone to int8 and rebuild the
     model with the quantized ViT config (serve-path HBM-roofline attack;
-    see models/quantize.py). Heads stay float."""
+    see models/quantize.py). Heads stay float. attn=True also enables the
+    int8-probability attention (ops/attention.int8_prob_attention - pure
+    activation quantization, no extra params)."""
     import dataclasses as _dc
 
     import jax
@@ -978,7 +980,10 @@ def _int8ify(model_cls, cfg, variables):
 
     from mvropose_tpu.models.quantize import quantize_backbone_params
 
-    cfg = _dc.replace(cfg, vit=_dc.replace(cfg.vit, quant="int8"))
+    cfg = _dc.replace(
+        cfg,
+        vit=_dc.replace(cfg.vit, quant="int8", quant_attn="int8" if attn else None),
+    )
     params = dict(variables["params"])
     params["backbone"] = jax.tree_util.tree_map(
         jnp.asarray, quantize_backbone_params(params["backbone"])
@@ -1077,8 +1082,14 @@ def _cmd_eval(args) -> int:
     variables = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     variables = _load_variables_checked(args.params, variables, cfg.angle_head)
     if getattr(args, "int8_backbone", False):
-        model, cfg, variables = _int8ify(type(model), cfg, variables)
-        print("backbone quantized to int8 (per-channel weights, dynamic per-token activations)")
+        model, cfg, variables = _int8ify(
+            type(model), cfg, variables, attn=getattr(args, "int8_attention", False)
+        )
+        print(
+            "backbone quantized to int8 (per-channel weights, dynamic per-token "
+            "activations)"
+            + (" + int8-prob attention" if getattr(args, "int8_attention", False) else "")
+        )
 
     # Optional occlusion-robustness probe: solid random rectangles on the
     # model inputs (the reference's adversarial masking at inference,
@@ -1525,8 +1536,14 @@ def _cmd_serve(args) -> int:
     if args.params:
         variables = _load_variables_checked(args.params, variables, cfg.angle_head)
     if getattr(args, "int8_backbone", False):
-        model, cfg, variables = _int8ify(type(model), cfg, variables)
-        print("backbone quantized to int8 (per-channel weights, dynamic per-token activations)")
+        model, cfg, variables = _int8ify(
+            type(model), cfg, variables, attn=getattr(args, "int8_attention", False)
+        )
+        print(
+            "backbone quantized to int8 (per-channel weights, dynamic per-token "
+            "activations)"
+            + (" + int8-prob attention" if getattr(args, "int8_attention", False) else "")
+        )
     view_ids = jnp.arange(args.views, dtype=jnp.int32)[None]
 
     # Optional per-camera undistortion: --calib-dir + --camera-keys binds the
@@ -2141,6 +2158,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="quantize the loaded checkpoint's backbone to int8 "
                          "(models/quantize.py) before evaluating - the "
                          "accuracy side of the serve-path speedup")
+    pe.add_argument("--int8-attention", action="store_true",
+                    help="with --int8-backbone: also run int8-probability "
+                         "attention (ops/attention.int8_prob_attention) - "
+                         "the accuracy side of the r5 attention-byte attack")
     pe.add_argument("--single-view", action="store_true")
     pe.set_defaults(fn=_cmd_eval)
 
@@ -2194,6 +2215,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve with the backbone quantized to int8 "
                          "(models/quantize.py; measured 1.14x on the 4cam@512 "
                          "ViT-B step, runs/int8_bench.json)")
+    pv.add_argument("--int8-attention", action="store_true",
+                    help="with --int8-backbone: also run int8-probability "
+                         "attention (runs/attn8_ln_bench.json)")
     pv.add_argument("--angle-head", choices=["query", "geometric", "geometric3d"],
                     default="query")
     pv.add_argument("--calib-dir", default=None)

@@ -98,6 +98,19 @@ class ViTConfig:
     # models/quantize.py) - the serve-path attack on the HBM roofline.
     # Params come from quantize_backbone_params over a float checkpoint.
     quant: Optional[str] = None
+    # "int8": int8-probability attention (ops/attention.int8_prob_attention)
+    # - the second roofline attack: the (B, H, T, T) probs stream halves and
+    # the softmax normalization pass folds into the dequant scale. Separate
+    # from `quant` so the two promotions stay individually attributable in
+    # bench arms; no parameters change (pure activation quantization).
+    quant_attn: Optional[str] = None
+    # Pallas fused (residual +) LayerNorm (ops/layernorm.py): one bf16 pass
+    # per LN site instead of XLA's f32-materialized stream, with the
+    # mid-block residual add fused in. Param tree is unchanged
+    # (FusedLayerNorm owns the same scale/bias leaves as nn.LayerNorm), so
+    # any float/int8 checkpoint runs with it - serve-path opt-in, benched
+    # separately (runs/attn8_ln_bench.json).
+    fused_ln: bool = False
 
     @property
     def grid_size(self) -> int:
@@ -197,10 +210,14 @@ class FusedMHA(nn.Module):
     num_heads: int
     dtype: jnp.dtype
     quant: Optional[str] = None
+    quant_attn: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, key_mask=None, rope=None):
-        from mvropose_tpu.ops.attention import fused_self_attention
+        from mvropose_tpu.ops.attention import (
+            fused_self_attention,
+            int8_prob_attention,
+        )
 
         B, T, D = x.shape
         head_dim = D // self.num_heads
@@ -227,7 +244,10 @@ class FusedMHA(nn.Module):
             cos, sin, n_prefix = rope
             q = _apply_rope(q, cos, sin, n_prefix)
             k = _apply_rope(k, cos, sin, n_prefix)
-        out = fused_self_attention(q, k, v, key_mask=key_mask)
+        if self.quant_attn == "int8":
+            out = int8_prob_attention(q, k, v, key_mask=key_mask)
+        else:
+            out = fused_self_attention(q, k, v, key_mask=key_mask)
         if self.quant == "int8":
             from mvropose_tpu.models.quantize import Int8Dense
 
@@ -235,6 +255,34 @@ class FusedMHA(nn.Module):
         return nn.DenseGeneral(
             features=D, axis=(-2, -1), dtype=self.dtype, name="out"
         )(out)
+
+
+class FusedLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible module (same `scale`/`bias` param leaves)
+    running the Pallas fused kernel; with `residual` it also emits the
+    fused residual update (ops/layernorm.fused_residual_layernorm)."""
+
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x, residual=None, out_dtype=None):
+        from mvropose_tpu.ops.layernorm import (
+            fused_layernorm,
+            fused_residual_layernorm,
+        )
+
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (D,), jnp.float32)
+        assert D % 128 == 0, (
+            f"FusedLayerNorm needs a lane-multiple feature dim, got {D}; "
+            "use nn.LayerNorm (cfg.fused_ln=False) for this width"
+        )
+        if residual is None:
+            return fused_layernorm(x, scale, bias, eps=self.epsilon, out_dtype=out_dtype)
+        return fused_residual_layernorm(
+            x, residual, scale, bias, eps=self.epsilon, out_dtype=out_dtype
+        )
 
 
 class Block(nn.Module):
@@ -245,12 +293,24 @@ class Block(nn.Module):
         c = self.cfg
         dt = c.compute_dtype
         eps = c.layer_norm_eps
-        h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm1")(x).astype(dt)
-        h = FusedMHA(num_heads=c.num_heads, dtype=dt, quant=c.quant, name="attn")(h, rope=rope)
+        if c.fused_ln:
+            h = FusedLayerNorm(eps, name="norm1")(x, out_dtype=dt)
+        else:
+            h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm1")(x).astype(dt)
+        h = FusedMHA(
+            num_heads=c.num_heads, dtype=dt, quant=c.quant,
+            quant_attn=c.quant_attn, name="attn",
+        )(h, rope=rope)
         if c.layerscale_init is not None:
             h = LayerScale(c.hidden_size, c.layerscale_init, name="ls1")(h)
-        x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm2")(x).astype(dt)
+        if c.fused_ln:
+            # Mid-block fusion: the residual update and its normalization
+            # are one kernel pass (the LayerScale multiply above fuses into
+            # the attention projection's epilogue on the XLA side).
+            x, h = FusedLayerNorm(eps, name="norm2")(x, residual=h, out_dtype=dt)
+        else:
+            x = x + h
+            h = nn.LayerNorm(dtype=jnp.float32, epsilon=eps, name="norm2")(x).astype(dt)
         h = Mlp(int(c.hidden_size * c.mlp_ratio), c.hidden_size, dt, quant=c.quant, name="mlp")(h)
         if c.layerscale_init is not None:
             h = LayerScale(c.hidden_size, c.layerscale_init, name="ls2")(h)
@@ -341,7 +401,10 @@ class ViTBackbone(nn.Module):
 
         for i in range(c.num_layers):
             x = Block(c, name=f"block_{i}")(x, rope=rope)
-        x = nn.LayerNorm(dtype=jnp.float32, epsilon=c.layer_norm_eps, name="norm")(x)
+        if c.fused_ln:
+            x = FusedLayerNorm(c.layer_norm_eps, name="norm")(x, out_dtype=jnp.float32)
+        else:
+            x = nn.LayerNorm(dtype=jnp.float32, epsilon=c.layer_norm_eps, name="norm")(x)
 
         n_prefix = 1 + c.num_register_tokens
         return {

@@ -26,6 +26,59 @@ import jax
 import jax.numpy as jnp
 
 
+def int8_prob_attention(
+    q: jnp.ndarray,  # (B, T, H, d) - flax layout
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Self-attention with the PROBABILITY matrix stored int8 (serve path).
+
+    At the backbone shape (T~1k) the materialized (B, H, T, T) score tensors
+    are the largest remaining activation stream after the int8 backbone
+    quantization (runs/int8_bench.json analysis), and the Pallas flash
+    kernel measured SLOWER there (module docstring). This keeps XLA's
+    winning einsum structure but attacks the bytes:
+
+      * probs are stored int8 with a PER-ROW scale that falls out of the
+        softmax for free: row max prob = exp(0)/Z, so
+        pq = round(exp(l - rowmax) * 127) needs no division at all - even a
+        perfectly uniform row quantizes at full resolution (the r4 fixed
+        scale would have rounded 1/1025 to zero);
+      * the softmax NORMALIZATION pass disappears: the 1/Z folds into the
+        output dequant scale (per query row, constant over the contracted
+        key axis, so it commutes with the matmul);
+      * V is quantized per (b, h, d) channel - also constant over the
+        contraction - and P@V runs on the MXU's native int8 path.
+
+    logits stay bf16 (their scale is unknown before the row max exists).
+    Accuracy: probs carry <=0.5/127 relative-to-rowmax rounding and V
+    <=0.5/127 per-channel; parity is asserted against the float checkpoint
+    by the --int8-backbone eval protocol (runs/int8_bench.json pck_parity).
+    """
+    B, T, H, d = q.shape
+    sm_scale = 1.0 / (d**0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * sm_scale, k)
+    if key_mask is not None:
+        neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+        logits = jnp.where(key_mask[:, None, None, :], logits, neg)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)  # (B, H, T, T) in compute dtype, in [0, 1]
+    z = jnp.sum(e.astype(jnp.float32), axis=-1)  # (B, H, T)
+    pq = jnp.round(e.astype(jnp.float32) * 127.0).astype(jnp.int8)
+
+    sv = jnp.maximum(jnp.max(jnp.abs(v.astype(jnp.float32)), axis=1), 1e-6) / 127.0
+    vq = jnp.round(v.astype(jnp.float32) / sv[:, None]).astype(jnp.int8)  # (B, T, H, d)
+
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", pq, vq, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    # Dequant: (1 / (127 * Z)) per (b, h, q) row x per-channel v scale.
+    out = out * jnp.transpose(1.0 / (127.0 * z), (0, 2, 1))[..., None]
+    out = out * sv[:, None]
+    return out.astype(q.dtype)
+
+
 def fused_self_attention(
     q: jnp.ndarray,  # (B, T, H, d) - flax layout
     k: jnp.ndarray,

@@ -95,3 +95,98 @@ def test_reference_decode_golden_parity():
         )
         np.testing.assert_array_equal(np.asarray(xy), ref_kp, err_msg=name)
         np.testing.assert_allclose(np.asarray(conf), ref_sc, atol=1e-6, err_msg=name)
+
+
+def test_int8_prob_attention_parity(rng):
+    """int8-probability attention vs exact softmax attention: the probs
+    quantize per row at 127 levels against the ROW MAX, so even rows with
+    tiny uniform probabilities (the fixed-scale failure mode) keep full
+    relative resolution. Output tolerance covers the two roundings (probs
+    <= 0.5/127 of rowmax, v <= 0.5/127 per channel)."""
+    import jax
+
+    from mvropose_tpu.ops.attention import fused_self_attention, int8_prob_attention
+
+    B, T, H, d = 2, 65, 4, 32
+    q = jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+    exact = np.asarray(fused_self_attention(q, k, v, use_flash=False))
+    q8 = np.asarray(int8_prob_attention(q, k, v))
+    # Relative-to-output-scale error: bounded by the quantization steps.
+    denom = np.abs(exact).max()
+    assert np.abs(q8 - exact).max() / denom < 0.05
+    assert np.abs(q8 - exact).mean() / denom < 0.005
+
+    # Near-uniform attention rows (q ~ 0 -> logits ~ equal): per-row scaling
+    # must not collapse 1/T probabilities to zero.
+    q0 = jnp.zeros_like(q) * 1e-3
+    exact_u = np.asarray(fused_self_attention(q0, k, v, use_flash=False))
+    q8_u = np.asarray(int8_prob_attention(q0, k, v))
+    assert np.abs(q8_u - exact_u).max() / (np.abs(exact_u).max() + 1e-9) < 0.05
+
+    # key_mask parity: masked keys contribute nothing in either path.
+    mask = jnp.asarray(rng.uniform(size=(B, T)) > 0.3)
+    exact_m = np.asarray(fused_self_attention(q, k, v, use_flash=False, key_mask=mask))
+    q8_m = np.asarray(int8_prob_attention(q, k, v, key_mask=mask))
+    assert np.abs(q8_m - exact_m).max() / np.abs(exact_m).max() < 0.05
+
+
+def test_fused_layernorm_matches_flax(rng):
+    """Pallas fused LN (interpret mode on CPU) vs flax nn.LayerNorm, and the
+    residual variant vs add-then-LN."""
+    import flax.linen as nn
+
+    from mvropose_tpu.ops.layernorm import fused_layernorm, fused_residual_layernorm
+
+    B, T, D = 2, 37, 256  # rows not a block multiple; D a lane multiple
+    x = jnp.asarray(rng.standard_normal((B, T, D)) * 3 + 0.5, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (D,)), jnp.float32)
+    bias = jnp.asarray(rng.uniform(-0.2, 0.2, (D,)), jnp.float32)
+
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+    want = ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+    got = fused_layernorm(x, scale, bias, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    want_res = ln.apply({"params": {"scale": scale, "bias": bias}}, x + h)
+    xnew, y = fused_residual_layernorm(x, h, scale, bias, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(xnew), np.asarray(x + h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_res), atol=2e-5, rtol=2e-5)
+
+    # bf16 in/out (the serve configuration): same result at bf16 tolerance.
+    got16 = fused_layernorm(x.astype(jnp.bfloat16), scale, bias, eps=1e-6)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(want), atol=0.05, rtol=0.05
+    )
+
+
+def test_vit_fused_ln_backbone_parity(rng):
+    """fused_ln=True runs the SAME param tree as the flax-LN backbone (the
+    FusedLayerNorm module owns identical scale/bias leaves) and matches its
+    tokens to bf16 tolerance."""
+    import dataclasses
+
+    import jax
+
+    from mvropose_tpu.models.vit import ViTBackbone, ViTConfig
+
+    cfg = ViTConfig(
+        image_size=32, patch_size=16, hidden_size=128, num_layers=2,
+        num_heads=2, dtype="float32",
+    )
+    model = ViTBackbone(cfg)
+    imgs = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(variables, imgs)
+
+    model_f = ViTBackbone(dataclasses.replace(cfg, fused_ln=True))
+    vf = model_f.init(jax.random.PRNGKey(0), imgs)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(variables)
+    out_f = model_f.apply(variables, imgs)  # SAME params
+    np.testing.assert_allclose(
+        np.asarray(out_f["patch_tokens"]), np.asarray(out["patch_tokens"]),
+        atol=1e-4, rtol=1e-4,
+    )
