@@ -32,6 +32,59 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _make_fr3_mv_set(out_dir, n_groups: int, hw):
+    """Self-contained synthetic fr3 4-camera set for the MULTI-VIEW loader
+    bench: 4 serials (the real FR3 rig's), one left cam each, same capture
+    tick -> 4-view groups. Image content is noise (decode-cost realistic,
+    GT irrelevant to a loader throughput bench); geometry comes from manual
+    identity-ish extrinsics so the FK+projection parent precompute runs."""
+    import json as _json
+    from pathlib import Path
+
+    import cv2
+    import numpy as np
+    import pandas as pd
+
+    from mvropose_tpu.calib.registry import FR3_SERIAL_TO_VIEW, load_rig
+
+    out = Path(out_dir)
+    csvp = out / "fr3_mv.csv"
+    calib_dir = out / "calib"
+    summary = out / "pose1_aruco_pose_summary.json"
+    H, W = hw
+    if not csvp.exists():
+        calib_dir.mkdir(parents=True, exist_ok=True)
+        K = [[0.9 * W, 0, W / 2.0], [0, 0.9 * W, H / 2.0], [0, 0, 1]]
+        recs = []
+        for serial, view in FR3_SERIAL_TO_VIEW.items():
+            (calib_dir / f"{view}_{serial}_leftcam_calib.json").write_text(
+                _json.dumps({"camera_matrix": K,
+                             "distortion_coeffs": [-0.05, 0.03, 0.0, 0.0, 0.0]})
+            )
+            recs.append({"view": view, "cam": "leftcam", "rvec_unit": "rad",
+                         "rvec_x": 3.14159, "rvec_y": 0.0, "rvec_z": 0.0,
+                         "tvec_x": 0.0, "tvec_y": 0.1, "tvec_z": 1.2})
+        summary.write_text(_json.dumps(recs))
+        rng = np.random.default_rng(0)
+        rows = []
+        img_dir = out / "pose1"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n_groups):
+            ts = 1000.0 + i
+            ang = rng.uniform(-0.5, 0.5, 7)
+            for serial in FR3_SERIAL_TO_VIEW:
+                path = img_dir / f"zed_{serial}_left_{ts}.jpg"
+                img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+                cv2.imwrite(str(path), img, [cv2.IMWRITE_JPEG_QUALITY, 85])
+                row = {"image_path": str(path), "robot_timestamp": ts}
+                row.update({f"position_fr3_joint{j+1}": float(ang[j]) for j in range(7)})
+                rows.append(row)
+        pd.DataFrame(rows).to_csv(csvp, index=False)
+    rig = load_rig("fr3", "fr3", FR3_SERIAL_TO_VIEW, calib_dir=calib_dir,
+                   aruco_summary_paths={"pose1": summary})
+    return pd.read_csv(csvp), rig
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--csv", required=True)
@@ -43,6 +96,18 @@ def main() -> int:
     p.add_argument("--device-img-per-sec", type=float, default=1784.0,
                    help="the device step rate to size worker counts against "
                         "(BENCH_TRAIN.json DREAM b240 single-view step)")
+    p.add_argument("--fr3-mv-dir", default=None,
+                   help="also bench the MULTI-VIEW grain path: generate (or "
+                        "reuse) a synthetic fr3 4-camera set here and "
+                        "measure grouped-loader img/s at the multi-view "
+                        "trainer shape (VERDICT r4 #2)")
+    p.add_argument("--mv-groups", type=int, default=120)
+    p.add_argument("--mv-image-hw", type=int, nargs=2, default=(512, 512),
+                   help="source frame size of the generated fr3 set (the "
+                        "512px trainer decodes+remaps sources at this size)")
+    p.add_argument("--mv-batch-size", type=int, default=18)
+    p.add_argument("--mv-device-groups-per-sec", type=float, default=51.25,
+                   help="BENCH_TRAIN.json train_multi_view_b18x4_512px rate")
     p.add_argument("--out", default="BENCH_LOADER.json")
     args = p.parse_args()
 
@@ -84,6 +149,65 @@ def main() -> int:
         )
         results[f"grain_workers_{w}"] = timed(loader, f"grain x{w}")
 
+    # Multi-view row (VERDICT r4 #2): the grouped loader at the flagship
+    # trainer's 18x4@512px shape, against the measured device step rate.
+    mv_report = None
+    if args.fr3_mv_dir:
+        df_mv, rig_mv = _make_fr3_mv_set(
+            args.fr3_mv_dir, args.mv_groups, tuple(args.mv_image_hw)
+        )
+        ds_mv = builders.build_fr3_multi_view(
+            df_mv, rig_mv, tuple(args.mv_image_hw), tolerance_s=0.05, max_views=4
+        )
+        print(f"fr3 mv: {len(ds_mv)} groups on disk")
+
+        def timed_mv(iterator, label):
+            n_img, n_grp = 0, 0
+            it = iter(iterator)
+            next(it)  # spawn/warmup batch out of the timing
+            t0 = time.perf_counter()
+            for i, b in enumerate(it):
+                n_grp += b["images_u8"].shape[0]
+                n_img += int(b["view_mask"].sum())
+                if i + 1 >= args.max_batches:
+                    break
+            dt = time.perf_counter() - t0
+            print(f"{label}: {n_img / dt:.1f} img/s, {n_grp / dt:.2f} groups/s")
+            return n_img / dt, n_grp / dt
+
+        mv_results = {}
+        mv_results["in_process"] = timed_mv(
+            ds_mv.batches(args.mv_batch_size), "mv in-process .batches"
+        )
+        for w in args.workers:
+            if w == 0:
+                continue
+            loader = make_grain_loader(
+                ds_mv, args.mv_batch_size, shuffle=True, num_workers=w,
+                num_epochs=None,
+            )
+            mv_results[f"grain_workers_{w}"] = timed_mv(loader, f"mv grain x{w}")
+        per_core_mv = max(v[0] for v in mv_results.values())
+        dev_img = args.mv_device_groups_per_sec * 4
+        mv_report = {
+            "source_image_hw": list(args.mv_image_hw),
+            "batch_groups": args.mv_batch_size,
+            "img_per_sec": {k: round(v[0], 1) for k, v in mv_results.items()},
+            "groups_per_sec": {k: round(v[1], 2) for k, v in mv_results.items()},
+            "per_core_img_per_sec": round(per_core_mv, 1),
+            "device_img_per_sec": dev_img,
+            "cores_needed_for_device_rate": round(dev_img / per_core_mv, 1),
+            "note": (
+                "Grouped multi-view loader (decode + 512px undistort remap "
+                "per view, 4 views/group) vs the measured 18x4@512px device "
+                f"step ({args.mv_device_groups_per_sec} groups/s = "
+                f"{dev_img:.0f} img/s, BENCH_TRAIN.json). A production host "
+                f"needs ~{int(dev_img / per_core_mv) + 1} worker cores - the "
+                "reference fed this trainer with 8 DataLoader workers "
+                "(MvRoPose_FR3.py:958-965)."
+            ),
+        }
+
     ncores = os.cpu_count() or 1
     per_core = max(results.values())
     need = args.device_img_per_sec / per_core
@@ -106,6 +230,18 @@ def main() -> int:
             "(DREAM_Train.py:729-735)."
         ),
     }
+    if mv_report is not None:
+        report["multi_view_18x4_512px"] = mv_report
+    # Preserve sections a previous run (or a manual merge, e.g. the r4
+    # at-scale-44k record) added under keys this run does not produce.
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            for k, v in prev.items():
+                report.setdefault(k, v)
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"per_core_img_per_sec": report["per_core_img_per_sec"],
