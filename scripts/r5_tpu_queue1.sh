@@ -1,21 +1,14 @@
 #!/bin/bash
-# Round-5 TPU work queue, part 1: runs after runs/dream_geo finishes.
+# Round-5 TPU work queue, part 1 (the tunneled TPU admits ONE client at a
+# time - run this only when no other TPU process is alive):
 #  1. eval dream_geo (geometric head @128px, full pose protocol)
 #  2. bench_attn8_ln (the 5-arm serve-step race)
-#  3. train dream256 (geometric head @256px - the >=256px measured point)
+#  3. train + eval dream256_geo (the >=256px measured point)
 set -uo pipefail
 cd /root/repo
-export PYTHONPATH=/root/repo MVROPOSE_NUM_WORKERS=0
-
-# Wait for the dream_geo trainer to release the TPU.
-while ! ls runs/dream_geo/best_params.npz >/dev/null 2>&1 || \
-      [ "$(python - <<'EOF'
-import json
-recs = [json.loads(l) for l in open('runs/dream_geo/logs/metrics.jsonl')]
-print(1 if recs and recs[-1]['epoch'] >= 100 else 0)
-EOF
-)" != "1" ]; do sleep 60; done
-sleep 30
+# NOTE: do NOT override PYTHONPATH - /root/.axon_site on it registers the
+# tunneled-TPU backend; replacing it silently drops to 'axon unknown' errors.
+export MVROPOSE_NUM_WORKERS=0
 
 echo "=== eval dream_geo"
 python -m mvropose_tpu.cli eval --robot dream --csv data_synth/dream5_eval.csv \
