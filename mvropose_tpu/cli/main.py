@@ -1211,13 +1211,8 @@ def _cmd_eval(args) -> int:
         ).reshape(B, V)
         base_j, K_j = jnp.asarray(base), jnp.asarray(Kb)
         keys = jax.random.split(jax.random.PRNGKey(13), B)
-        results = []
-        for ang in angle_variants:
-            out = jax.vmap(
-                lambda xy_s, c_s, ang_s, base_s, K_s, k: solve_rig_pnp(
-                    xy_s, c_s, ang_s, base_s, K_s, rig.robot, key=k
-                )
-            )(xy, conf, ang, base_j, K_j, keys)
+
+        def variant_metrics(out, ang):
             rot = np.asarray(pose_rotation_err_deg(out["rvec"], jnp.asarray(rv)))
             trans = np.asarray(pose_translation_err_m(out["tvec"], jnp.asarray(tv)))
             succ = np.asarray(out["success"])
@@ -1247,9 +1242,49 @@ def _cmd_eval(args) -> int:
                 )
                 d_mean = np.asarray(jnp.mean(d, axis=-1))  # (B, V)
                 adds = list(np.where(succ, d_mean, np.inf)[vm])
-            results.append(
-                (list(rot[ok]), list(trans[ok]),
-                 list(succ[vm].astype(np.float32)), adds)
+            return (list(rot[ok]), list(trans[ok]),
+                    list(succ[vm].astype(np.float32)), adds)
+
+        results = []
+        out_pred = None  # variant 0's PnP output, the refinement's init
+        for ang in angle_variants:
+            out = jax.vmap(
+                lambda xy_s, c_s, ang_s, base_s, K_s, k: solve_rig_pnp(
+                    xy_s, c_s, ang_s, base_s, K_s, rig.robot, key=k
+                )
+            )(xy, conf, ang, base_j, K_j, keys)
+            if out_pred is None:
+                out_pred = out
+            results.append(variant_metrics(out, ang))
+        if getattr(args, "refine_pose", False):
+            # Joint (pose, angles) refinement from the pred-angle PnP init:
+            # the pred angles become a PRIOR, not ground truth - see
+            # pose/refine.py for the measured motivation and bounds. Always
+            # "succeeds" (LM returns a pose for every frame), so its all-
+            # frames ADD has no inf entries by construction.
+            from mvropose_tpu.pose import refine_rig_pose_angles
+
+            rkeys = jax.random.split(jax.random.PRNGKey(29), B)
+            ref = jax.vmap(
+                lambda xy_s, c_s, ang_s, rv0, tv0, base_s, K_s, m_s, k: (
+                    refine_rig_pose_angles(
+                        xy_s, c_s, ang_s, rv0, tv0, base_s, K_s, rig.robot, k,
+                        view_mask=m_s,
+                        sigma_px=args.refine_sigma_px,
+                        sigma_prior=args.refine_sigma_prior,
+                    )
+                )
+            )(xy, conf, angle_variants[0], out_pred["rvec"], out_pred["tvec"],
+              base_j, K_j, jnp.asarray(vm), rkeys)
+            out_ref = {
+                "rvec": ref["rvec"], "tvec": ref["tvec"],
+                "success": np.ones((B, V), dtype=bool),
+            }
+            results.append(variant_metrics(out_ref, ref["angles"]))
+            refined_ang_abs.extend(
+                np.abs(np.asarray(ref["angles"]) - np.asarray(batch["angles"]))[
+                    np.asarray(vm).any(axis=1)
+                ].mean(axis=1)
             )
         return results
 
@@ -1265,6 +1300,7 @@ def _cmd_eval(args) -> int:
 
     tri_adds, tri_obs, pose_rots, pose_trans, pose_succ, pnp_adds, n = [], [], [], [], [], [], 0
     pose_rots_gt, pose_trans_gt, pnp_adds_gt = [], [], []
+    pose_rots_ref, pose_trans_ref, pnp_adds_ref, refined_ang_abs = [], [], [], []
     per_joint_sum = None
     img_h, img_w = args.image_hw
     for batch in ds.batches(args.batch_size):
@@ -1375,6 +1411,10 @@ def _cmd_eval(args) -> int:
         if pose_gt_by_alignment:
             rg, tg, _, ag = res[1]
             pose_rots_gt.extend(rg); pose_trans_gt.extend(tg); pnp_adds_gt.extend(ag)
+        if args.refine_pose and len(res) > len(variants):
+            rr, tr, _, ar = res[-1]  # refined block is appended last
+            pose_rots_ref.extend(rr); pose_trans_ref.extend(tr)
+            pnp_adds_ref.extend(ar)
         n += int(n_valid)
     from mvropose_tpu.train.metrics import pass_rate_auc
 
@@ -1428,6 +1468,16 @@ def _cmd_eval(args) -> int:
             report["pose_trans_err_m_gt_angles"] = float(np.mean(pose_trans_gt))
         if pnp_adds_gt:
             _pnp_add_report(pnp_adds_gt, suffix="_gt_angles")
+        if pose_rots_ref:
+            # NOTE the raw rot number retains the base-axis gauge error (any
+            # joint-1 prior error is reprojection-invisible and transfers to
+            # the pose); the _refined ADD metrics are the gauge-invariant
+            # accuracy measure - see pose/refine.py and tests/test_refine.py.
+            report["pose_rot_err_deg_refined"] = float(np.mean(pose_rots_ref))
+            report["pose_trans_err_m_refined"] = float(np.mean(pose_trans_ref))
+            report["refined_angle_mae"] = float(np.mean(refined_ang_abs))
+        if pnp_adds_ref:
+            _pnp_add_report(pnp_adds_ref, suffix="_refined")
     print(json.dumps(report))
     return 0
 
@@ -2162,6 +2212,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --int8-backbone: also run int8-probability "
                          "attention (ops/attention.int8_prob_attention) - "
                          "the accuracy side of the r5 attention-byte attack")
+    pe.add_argument("--refine-pose", action="store_true",
+                    help="joint (pose, angles) reprojection refinement "
+                         "(pose/refine.py) on top of the pred-angle PnP: "
+                         "multi-start LM with the network angles as prior; "
+                         "adds *_refined pose/ADD metrics")
+    pe.add_argument("--refine-sigma-px", type=float, default=1.2,
+                    help="decode-noise scale for the refinement residuals "
+                         "(set to the model's measured kp_px_err_mean)")
+    pe.add_argument("--refine-sigma-prior", type=float, default=0.2,
+                    help="angle-prior std in the robot's NATIVE unit (set to "
+                         "the angle head's measured MAE: radians for "
+                         "fr3/dream, degrees for fr5/meca)")
     pe.add_argument("--single-view", action="store_true")
     pe.set_defaults(fn=_cmd_eval)
 

@@ -25,6 +25,7 @@ from mvropose_tpu.geometry.pnp import solve_pnp_ransac
 from mvropose_tpu.geometry.robots import RobotSpec, forward_kinematics
 from mvropose_tpu.geometry.triangulation import projection_matrix, triangulate_keypoints
 from mvropose_tpu.geometry.camera import project_points
+from mvropose_tpu.pose.refine import refine_rig_pose_angles
 
 # The reference's serve gate: keypoint confidence >= 0.6 and >= 4 points
 # (Fr5_model_train.ipynb cell 14, line 1545 and 1419-1428).
@@ -224,5 +225,6 @@ __all__ = [
     "recover_pose_single_view",
     "recover_pose_multiview",
     "reprojection_errors",
+    "refine_rig_pose_angles",
     "DEFAULT_CONFIDENCE_THRESHOLD",
 ]

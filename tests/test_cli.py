@@ -582,11 +582,17 @@ def test_cli_dream_train(tmp_path):
             "eval", "--robot", "dream", "--csv", str(csv),
             "--dream-dirs", str(base), "--params", str(workdir / "best_params.npz"),
             "--image-hw", "60", "80", "--batch-size", "2", "--single-view",
+            "--refine-pose",
         ])
     assert rc == 0
     report = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert report["samples"] == 4
     assert np.isfinite(report["angle_mae"]) and np.isfinite(report["add_m"])
+    # --refine-pose: the joint (pose, angles) refinement block must emit its
+    # gauge-invariant ADD protocol metrics alongside the raw pose numbers.
+    assert np.isfinite(report["pose_rot_err_deg_refined"])
+    assert np.isfinite(report["refined_angle_mae"])
+    assert "pnp_add_pass@10cm_refined" in report
 
     # Wrong --image-hw must fail loudly, not report metrics over zero samples.
     with pytest.raises(SystemExit, match="weight 0"):
