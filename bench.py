@@ -1,7 +1,8 @@
 """Flagship benchmark: multi-camera pose inference throughput per TPU chip.
 
 Measures the full jitted serve step on one chip: 4-camera 512x512 batch ->
-ViT-B/16 backbone (int8-quantized frozen matmuls; bf16 arm also reported) ->
+ViT-B/16 backbone (int8 frozen matmuls + int8-prob attention; bf16 arm also
+reported) ->
 masked fusion -> heatmaps + angles -> fused Pallas peak decode -> keypoints +
 confidences. One "frame" = one synchronized 4-camera frame set (the rig unit
 of work).
@@ -49,19 +50,28 @@ def main() -> None:
     view_ids = jnp.tile(jnp.arange(V, dtype=jnp.int32), (B, 1))
     view_mask = jnp.ones((B, V), dtype=bool)
 
-    # Headline path: int8-quantized frozen backbone. The serve program is
-    # HBM-bandwidth-bound (runs/serve_breakdown.json: 116 FLOP/byte vs the
-    # v5e's 240 ridge), so halving the matmul operand streams is the direct
-    # roofline attack; accuracy parity is committed (runs/int8_bench.json
-    # pck_parity: identical PCK@5, +0.0003 px on the converged held-out eval),
-    # and `cli serve --int8-backbone` is the same production path. The bf16
-    # arm is still measured below (fps_bf16) so rounds 1-3 stay comparable.
+    # Headline path: int8-quantized frozen backbone + int8-probability
+    # attention. The serve program is HBM-bandwidth-bound
+    # (runs/serve_breakdown.json: 116 FLOP/byte vs the v5e's 240 ridge), so
+    # shrinking the byte streams is the direct roofline attack: r4 halved the
+    # matmul operand streams (int8 backbone, 1.13x), r5 stores the
+    # materialized (B,H,T,T) attention probs as int8 with free per-row scales
+    # and runs P@V on the int8 MXU (ops/attention.int8_prob_attention),
+    # measured 1.265x total over bf16 with the per-arm decomposition in
+    # runs/attn8_ln_bench.json. Accuracy parity is committed
+    # (runs/int8_bench.json pck_parity for the backbone;
+    # runs/dream_geo/eval_int8_attn8.txt for backbone+attention on a
+    # converged held-out eval); `cli serve --int8-backbone --int8-attention`
+    # is the same production path. The bf16 arm is still measured below
+    # (fps_bf16) so rounds 1-3 stay comparable.
     import dataclasses
 
     from mvropose_tpu.models.quantize import quantize_backbone_params
 
     model_f = MultiViewPoseEstimator(cfg)
-    qcfg = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit, quant="int8"))
+    qcfg = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, quant="int8", quant_attn="int8")
+    )
     model = MultiViewPoseEstimator(qcfg)
 
     # Build params WITHOUT compiling an init program on the TPU (the remote
@@ -194,13 +204,13 @@ def main() -> None:
             {
                 "metric": "multi_cam_frames_per_sec_per_chip",
                 "value": round(fps, 3),
-                "unit": "frame-sets/s (4cam@512px ViT-B/16 int8-backbone + decode)",
+                "unit": "frame-sets/s (4cam@512px ViT-B/16 int8-backbone+attn8 + decode)",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "fps_median": round(med, 3),
                 "fps_min": round(fps_chains[-1], 3),
                 "fps_spread_pct": round(spread_pct, 1),
                 "fps_jitted_call": round(fps_jitted, 3),
-                "fps_jitted_call_program": "int8",  # bf16 in r1-r2; int8 since r4
+                "fps_jitted_call_program": "int8_attn8",  # bf16 r1-r2; int8 r4; +attn8 r5
                 "fps_bf16": round(fps_bf16, 3),
                 "fps_bf16_median": round(med_f, 3),
                 "fps_bf16_min": round(fps_chains_f[-1], 3),
