@@ -1681,6 +1681,9 @@ def _cmd_serve(args) -> int:
             pose = recover_pose_batch(
                 hm, ang, bases, Ks_pose, robot, hw,
                 use_pallas=jax.default_backend() == "tpu",
+                refine=args.refine_pose,
+                refine_sigma_px=args.refine_sigma_px,
+                refine_sigma_prior=args.refine_sigma_prior,
             )
             use_fb = (~pose["success"]) & fb_valid  # (V,)
             pose["used_fallback"] = use_fb
@@ -2287,6 +2290,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated '{view}_{cam}' per source for undistortion")
     pv.add_argument("--recover-pose", action="store_true",
                     help="run full 6D RANSAC-PnP pose recovery per camera inside the tick")
+    pv.add_argument("--refine-pose", action="store_true",
+                    help="with --recover-pose: joint (pose, angles) "
+                         "refinement inside the tick (pose/refine.py); the "
+                         "network angles act as a prior, the decoded "
+                         "keypoints re-estimate pose AND angles jointly")
+    pv.add_argument("--refine-sigma-px", type=float, default=1.2)
+    pv.add_argument("--refine-sigma-prior", type=float, default=0.2)
     pv.add_argument("--pose-robot", default="fr3")
     pv.add_argument("--max-skew", type=float, default=None,
                     help="mask cameras whose latest frame lags the newest by more than this (s)")

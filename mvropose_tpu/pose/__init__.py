@@ -140,7 +140,8 @@ def solve_rig_pnp(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("robot", "image_hw", "n_hypotheses", "use_pallas", "decode_mode"),
+    static_argnames=("robot", "image_hw", "n_hypotheses", "use_pallas",
+                     "decode_mode", "refine"),
 )
 def recover_pose_batch(
     heatmaps: jnp.ndarray,  # (V, J, Hm, Wm) raw logits, one per camera
@@ -154,6 +155,9 @@ def recover_pose_batch(
     n_hypotheses: int = 16,
     use_pallas: bool = False,
     decode_mode: str = "argmax",
+    refine: bool = False,
+    refine_sigma_px: float = 1.2,
+    refine_sigma_prior: float = 0.2,
 ):
     """Fully-jitted per-camera 6D pose recovery for a whole rig tick.
 
@@ -173,11 +177,28 @@ def recover_pose_batch(
     xy, conf = decode_keypoints(
         heatmaps, image_hw=image_hw, mode=decode_mode, use_pallas=use_pallas
     )
-    return solve_rig_pnp(
+    out = solve_rig_pnp(
         xy, conf, pred_angles, base_rotations, Ks, robot,
         confidence_threshold=confidence_threshold, key=key,
         n_hypotheses=n_hypotheses,
     )
+    if refine:
+        # Joint (pose, angles) refinement: the predicted angles become a
+        # PRIOR instead of fixed PnP object points (pose/refine.py - the
+        # production answer to the reference protocol's angle-error
+        # sensitivity). Shares the decode; angles are refined jointly across
+        # the rig's views.
+        ref = refine_rig_pose_angles(
+            xy, conf, pred_angles, out["rvec"], out["tvec"], base_rotations,
+            Ks, robot,
+            key if key is not None else jax.random.PRNGKey(0),
+            sigma_px=refine_sigma_px, sigma_prior=refine_sigma_prior,
+            confidence_threshold=confidence_threshold,
+        )
+        out["rvec"], out["tvec"] = ref["rvec"], ref["tvec"]
+        out["refined_angles"] = ref["angles"]
+        out["success"] = out["success"] | (conf >= confidence_threshold).any(-1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("image_hw",))

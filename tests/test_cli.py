@@ -608,7 +608,10 @@ def test_cli_dream_train(tmp_path):
     rc = main([
         "serve", "--replay-dir", str(base), "--views", "2", "--fps", "30",
         "--frame-hw", "60", "80", "--params", str(workdir / "best_params.npz"),
-        "--recover-pose", "--pose-robot", "dream_panda", "--duration", "1.0",
+        # duration covers the refine graph's first-tick compile on a loaded
+        # CI core - at 1.0s the loop can end before any frame lands.
+        "--recover-pose", "--refine-pose", "--pose-robot", "dream_panda",
+        "--duration", "3.0",
     ])
     assert rc == 0
 
