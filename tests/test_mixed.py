@@ -184,3 +184,59 @@ def _run_eval(out, workdir, capsys=None):
         ])
     assert rc == 0
     return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_cli_mixed3_train_then_eval(tmp_path_factory, tmp_path):
+    """BASELINE config 4 at its NAMED scope: fr5 + FR3 + Meca insertion in one
+    model - three robot families (6/7/7-col logs, deg/rad/deg units, three
+    artifact schemas incl. meca_insertion's native robot_data.txt synced by
+    the real sync path) through `cli train --robot fr5,fr3,meca_insertion`."""
+    out = tmp_path_factory.mktemp("mixed3")
+    script = Path(__file__).resolve().parents[1] / "scripts" / "make_mixed_synthetic.py"
+    subprocess.run(
+        [sys.executable, str(script), "--out-dir", str(out),
+         "--robots", "fr5", "fr3", "meca_insertion",
+         "--n-samples", "8", "--image-hw", "64", "64"],
+        check=True, capture_output=True, timeout=900,
+    )
+    csvs = [str(out / f"{r}.csv") for r in ("fr5", "fr3", "meca_insertion")]
+    sums = [str(out / "fr5_aruco_pose_summary.json"),
+            str(out / "pose1_aruco_pose_summary.json"),
+            str(out / "meca_insertion_aruco_pose_summary.json")]
+    workdir = tmp_path / "run"
+    rc = main([
+        "train", "--robot", "fr5,fr3,meca_insertion", "--csv", *csvs,
+        "--calib-dir", str(out / "calib"), "--aruco-summary", *sums,
+        "--workdir", str(workdir), "--image-hw", "64", "64",
+        "--model-size", "64", "--hidden-size", "64", "--num-layers", "1",
+        "--batch-size", "4", "--epochs", "1", "--val-split", "0.25",
+        "--no-augment", "--num-workers", "0",
+    ])
+    assert rc == 0
+    rec = json.loads((workdir / "logs" / "metrics.jsonl").read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["val_loss"])
+    cfg = json.loads((workdir / "model_config.json").read_text())
+    # fr3 contributes 8 FK keypoints and 7 angles; fr5/meca pad up to those.
+    assert cfg["num_joints"] == 8 and cfg["num_angles"] == 7
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "eval", "--robot", "fr5,fr3,meca_insertion", "--csv", *csvs,
+            "--calib-dir", str(out / "calib"), "--aruco-summary", *sums,
+            "--params", str(workdir / "best_params.npz"),
+            "--image-hw", "64", "64", "--batch-size", "8",
+        ])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["robots"] == ["fr5", "fr3", "meca_insertion"]
+    assert report["fr5"]["angle_unit"] == "deg"
+    assert report["fr3"]["angle_unit"] == "rad"
+    assert report["meca_insertion"]["angle_unit"] == "deg"
+    for r in ("fr5", "fr3", "meca_insertion"):
+        assert report[r]["samples"] == 8
+        assert np.isfinite(report[r]["angle_mae_native"])
