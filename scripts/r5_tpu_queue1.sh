@@ -51,5 +51,5 @@ python -m mvropose_tpu.cli eval --robot dream --csv data_synth/dream256_eval.csv
 echo "=== 256px decode-noise floor"
 python scripts/task_bound_dream_pose.py --csv data_synth/dream256_eval.csv \
   --dream-dirs data_synth/dream256_eval/panda_synth \
-  --out runs/task_bound_dream256_pose.json --noise-px 0 0.5 1.2 2>&1 | tail -2
+  --image-hw 256 256 --out runs/task_bound_dream256_pose.json --noise-px 0 0.5 1.2 2>&1 | tail -2
 echo "=== queue1 done"
